@@ -1,0 +1,21 @@
+"""cubemapslam_tpu — a TPU-native monocular fisheye cubemap SLAM framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of CubemapSLAM
+(Wang et al., ACCV 2018; reference C++ at /root/reference): fisheye→cubemap
+warping under the Scaramuzza omnidirectional model, ORB feature extraction,
+cross-face matching, ray-based two-view initialization, EPnP/Sim3 solvers,
+bundle adjustment with Schur-complement reduction, pose-graph optimization,
+place recognition, and a tracking/mapping/loop-closing runtime — all expressed
+as batched, fixed-shape, jittable array programs.
+
+Design stance (SURVEY.md §7): functional core, imperative shell. All numerics
+are pure jitted functions over fixed-shape arrays; the SLAM map is a
+preallocated array-of-structs arena with validity masks; RANSAC loops are
+batched hypothesis evaluation; the reference's thread pipeline becomes a
+host-side orchestrator calling jitted device stages.
+"""
+
+__version__ = "0.1.0"
+
+from cubemapslam_tpu.config import SlamConfig, load_config  # noqa: F401
+from cubemapslam_tpu.camera import CubemapCamera  # noqa: F401

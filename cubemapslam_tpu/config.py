@@ -1,0 +1,216 @@
+"""Configuration: one dataclass holding every tunable of the SLAM engine.
+
+The reference scatters configuration across an OpenCV FileStorage YAML parsed
+redundantly in four places (System.cpp:63-91, Tracking.cpp:61-105,
+Viewer.cpp:38-56, MapDrawer.cpp:38-46) plus dozens of hard-coded constants
+(grid 50x50x5 Frame.h:43-45; TH_LOW/TH_HIGH ORBMatcher.cpp:42-45; covisibility
+threshold KeyFrame.cpp:356; chi-square gates 5.991/3.84/9.21; culling ratios).
+Here everything is surfaced on one dataclass, and the reference's YAML
+calibration files (Config/*.yaml) load unmodified for drop-in compatibility.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import re
+from typing import Dict, List, Optional
+
+
+def parse_opencv_yaml(path: str) -> Dict[str, float]:
+    """Parse the flat OpenCV-FileStorage-style YAML used by the reference.
+
+    Handles the ``%YAML:1.0`` directive (which standard YAML parsers reject),
+    ``#`` comments, and keys with no space after the colon
+    (e.g. ``Viewer.PointSize:2`` in lafida_cam0_params.yaml:69).
+    """
+    out: Dict[str, float] = {}
+    with open(path, "r") as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if not line or line.startswith("%"):
+                continue
+            m = re.match(r"^([A-Za-z0-9_.]+)\s*:\s*(.+)$", line)
+            if not m:
+                continue
+            key, val = m.group(1), m.group(2).strip()
+            if val.startswith('"') and val.endswith('"'):
+                out[key] = val[1:-1]
+                continue
+            try:
+                out[key] = float(val)
+            except ValueError:
+                out[key] = val
+    return out
+
+
+@dataclasses.dataclass(frozen=True)
+class SlamConfig:
+    """All SLAM engine parameters. Defaults mirror the reference's constants."""
+
+    # --- Camera / calibration (System.cpp:63-91) ---
+    fisheye_width: int = 754
+    fisheye_height: int = 480
+    # Scaramuzza forward polynomial a0..a{n-1} (z = -poly(rho))
+    poly: tuple = (-209.200757992065, 0.0, 0.00213741670953883,
+                   -4.2203617319086e-06, 1.77146086919594e-08)
+    # Inverse polynomial rho(theta), pol0..pol{m-1}
+    inv_poly: tuple = (293.667187375663, 149.982043337335, -10.448650568161,
+                       28.2295300683376, 7.13365723186292, 0.056303218962532,
+                       10.4144677485333, 0.166354960773665, -5.86858687381081,
+                       1.18165998645705, 3.1108311354746, 0.810799620714366)
+    affine_c: float = 0.999626131079017
+    affine_d: float = -0.0034775192597376
+    affine_e: float = 0.00385134991673147
+    u0: float = 392.219508388648
+    v0: float = 243.494438476351
+    fov_deg: float = 190.0
+    cube_face_w: int = 650
+    cube_face_h: int = 650
+    fps: float = 30.0
+    with_fisheye_mask: bool = True
+
+    # --- ORB extractor (Tracking.cpp:61-105) ---
+    n_features: int = 2000
+    scale_factor: float = 1.2
+    n_levels: int = 8
+    ini_th_fast: int = 20
+    min_th_fast: int = 7
+    init_features_factor: int = 3  # init-mode extractor uses 3x (Tracking.cpp:96)
+
+    # --- Feature grid (Frame.h:43-45) ---
+    grid_cols: int = 50
+    grid_rows: int = 50
+
+    # --- Matcher constants (ORBMatcher.cpp:42-45) ---
+    th_low: int = 50
+    th_high: int = 100
+    histo_length: int = 12
+
+    # --- Covisibility / graph (KeyFrame.cpp:356, Optimizer.cpp:648) ---
+    covisibility_weight_th: int = 15
+    essential_graph_min_weight: int = 100
+
+    # --- Tracking thresholds (Tracking.cpp) ---
+    min_init_keypoints: int = 100   # Tracking.cpp:397,416
+    min_init_matches: int = 100     # Tracking.cpp:423
+    min_track_inliers: int = 30     # Tracking.cpp:716
+    min_track_inliers_after_reloc: int = 50  # Tracking.cpp:712
+    max_local_keyframes: int = 80   # Tracking.cpp:934
+    keyframe_ref_ratio: float = 0.95  # Tracking.cpp:757
+
+    # --- Chi-square gates ---
+    chi2_mono: float = 5.991
+    chi2_epipolar: float = 3.84
+    chi2_sim3: float = 9.21
+
+    # --- Map-point culling (LocalMapping.cpp:175-206) ---
+    mp_found_ratio_th: float = 0.25
+    kf_culling_redundant_ratio: float = 0.9  # LocalMapping.cpp:561-619
+
+    # --- RANSAC defaults ---
+    init_ransac_iters: int = 200    # Initializer ctor (Tracking.cpp:437)
+    pnp_ransac_iters: int = 300     # Tracking.cpp:1035
+    sim3_ransac_iters: int = 300    # LoopClosing.cpp:284
+
+    # --- Arena capacities (fixed shapes; TPU-native addition) ---
+    max_keyframes: int = 512
+    max_landmarks: int = 65536
+    max_obs_per_kf: int = 4096      # >= max features per keyframe
+    max_obs_per_landmark: int = 32
+
+    # --- BoW / place recognition ---
+    vocab_branching: int = 10
+    vocab_depth: int = 4
+    bow_levels_up: int = 4          # ORBVocabulary feature-vector grouping level
+
+    # --- Viewer / drawing (kept for config-file parity) ---
+    viewer_params: Optional[dict] = None
+    frame_drawer_margin_x: int = 200
+    frame_drawer_margin_y: int = 320
+
+    # -------- derived --------
+    @property
+    def cube_w(self) -> int:
+        """Full cubemap cross width = 3 faces (System.cpp:83-84)."""
+        return 3 * self.cube_face_w
+
+    @property
+    def cube_h(self) -> int:
+        return 3 * self.cube_face_h
+
+    @property
+    def face_fx(self) -> float:
+        """Shared pinhole intrinsics: fx=fy=cx=cy=W/2 (System.cpp:83-84)."""
+        return self.cube_face_w / 2.0
+
+    @property
+    def face_fy(self) -> float:
+        return self.cube_face_h / 2.0
+
+    @property
+    def face_cx(self) -> float:
+        return self.cube_face_w / 2.0
+
+    @property
+    def face_cy(self) -> float:
+        return self.cube_face_h / 2.0
+
+    @property
+    def cos_fov_th(self) -> float:
+        """FOV gate cos(fov/2) (CamModelGeneral.h:224-229)."""
+        return math.cos(self.fov_deg / 2.0 * math.pi / 180.0)
+
+    @property
+    def scale_factors(self) -> List[float]:
+        return [self.scale_factor ** i for i in range(self.n_levels)]
+
+    @property
+    def level_sigma2(self) -> List[float]:
+        return [s * s for s in self.scale_factors]
+
+
+def load_config(yaml_path: str, **overrides) -> SlamConfig:
+    """Build a SlamConfig from a reference-format calibration YAML.
+
+    Reads the same keys System.cpp:63-91 and Tracking.cpp:61-105 read.
+    """
+    kv = parse_opencv_yaml(yaml_path)
+
+    def geti(key, default):
+        return int(kv.get(key, default))
+
+    def getf(key, default):
+        return float(kv.get(key, default))
+
+    n_pol = geti("Camera.nrpol", 5)
+    n_inv = geti("Camera.nrinvpol", 12)
+    poly = tuple(getf(f"Camera.a{i}", 0.0) for i in range(n_pol))
+    inv_poly = tuple(getf(f"Camera.pol{i}", 0.0) for i in range(n_inv))
+
+    kwargs = dict(
+        fisheye_width=geti("Camera.Iw", 754),
+        fisheye_height=geti("Camera.Ih", 480),
+        poly=poly,
+        inv_poly=inv_poly,
+        affine_c=getf("Camera.c", 1.0),
+        affine_d=getf("Camera.d", 0.0),
+        affine_e=getf("Camera.e", 0.0),
+        u0=getf("Camera.u0", 0.0),
+        v0=getf("Camera.v0", 0.0),
+        fov_deg=getf("Camera.fov", 190.0),
+        cube_face_w=geti("CubeFace.w", 650),
+        cube_face_h=geti("CubeFace.h", 650),
+        fps=getf("Camera.fps", 30.0),
+        with_fisheye_mask=bool(geti("Camera.withFisheyeMask", 0)),
+        n_features=geti("ORBextractor.nFeatures", 2000),
+        scale_factor=getf("ORBextractor.scaleFactor", 1.2),
+        n_levels=geti("ORBextractor.nLevels", 8),
+        ini_th_fast=geti("ORBextractor.iniThFAST", 20),
+        min_th_fast=geti("ORBextractor.minThFAST", 7),
+        frame_drawer_margin_x=geti("FrameDrawer.MarginX", 0),
+        frame_drawer_margin_y=geti("FrameDrawer.MarginY", 0),
+        viewer_params={k: v for k, v in kv.items() if k.startswith("Viewer.")},
+    )
+    kwargs.update(overrides)
+    return SlamConfig(**kwargs)
