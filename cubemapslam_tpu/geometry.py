@@ -30,9 +30,14 @@ def hat(v: jnp.ndarray) -> jnp.ndarray:
     ], -2)
 
 
+def _safe_norm(v: jnp.ndarray) -> jnp.ndarray:
+    """Norm over the last axis with a well-defined (zero) gradient at v=0."""
+    return jnp.sqrt(jnp.sum(v * v, axis=-1) + 1e-24)
+
+
 def so3_exp(phi: jnp.ndarray) -> jnp.ndarray:
     """Rodrigues: (...,3) axis-angle -> (...,3,3) rotation."""
-    theta = jnp.linalg.norm(phi, axis=-1, keepdims=True)[..., None]
+    theta = _safe_norm(phi)[..., None, None]
     K = hat(phi)
     K2 = K @ K
     theta2 = theta * theta
@@ -47,19 +52,20 @@ def so3_exp(phi: jnp.ndarray) -> jnp.ndarray:
 
 
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:
-    """(...,3,3) -> (...,3) axis-angle (angle in [0, pi])."""
+    """(...,3,3) -> (...,3) axis-angle (angle in [0, pi]).
+
+    theta comes from atan2(|w|/2, (tr-1)/2) so the map is differentiable at
+    the identity (arccos has an infinite derivative there)."""
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((trace - 1.0) / 2.0, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
     w = jnp.stack([R[..., 2, 1] - R[..., 1, 2],
                    R[..., 0, 2] - R[..., 2, 0],
                    R[..., 1, 0] - R[..., 0, 1]], -1)
-    sin_t = jnp.sin(theta)
-    small = theta[..., None] < 1e-5
+    sin_t = 0.5 * _safe_norm(w)                  # = sin(theta) for theta<pi
+    theta = jnp.arctan2(sin_t, cos_t)
     # generic: w * theta / (2 sin theta); near pi needs the diagonal route
-    scale = jnp.where(small[..., 0], 0.5 + theta * theta / 12.0,
-                      theta / jnp.where(jnp.abs(sin_t) < _EPS, 1.0,
-                                        2.0 * sin_t))
+    scale = jnp.where(theta < 1e-5, 0.5 + theta * theta / 12.0,
+                      theta / jnp.maximum(2.0 * sin_t, _EPS))
     generic = w * scale[..., None]
     # near theta = pi: axis from diagonal of (R + I)/2
     near_pi = theta[..., None] > (jnp.pi - 1e-3)
@@ -91,7 +97,7 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
 
 def _so3_left_jacobian(phi: jnp.ndarray) -> jnp.ndarray:
     """V matrix such that t = V @ rho in se3 exp."""
-    theta = jnp.linalg.norm(phi, axis=-1, keepdims=True)[..., None]
+    theta = _safe_norm(phi)[..., None, None]
     K = hat(phi)
     K2 = K @ K
     theta2 = theta * theta
@@ -200,7 +206,7 @@ def _sim3_W(phi: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
     W = A*hat(phi) + B*hat(phi)^2 + C*I with the standard four-branch
     closed form (Strasdat; cf. g2o sim3.h used by the reference's
     VertexSim3Expmap)."""
-    theta = jnp.linalg.norm(phi, axis=-1)
+    theta = _safe_norm(phi)
     s = jnp.exp(sigma)
     small_t = theta < 1e-5
     small_s = jnp.abs(sigma) < 1e-5

@@ -1,0 +1,81 @@
+"""Multipinhole reprojection residuals + analytic Jacobians.
+
+The optimization-side camera model of the reference lives in its custom g2o
+edges (g2o_cubemap_vertices_edges.cpp): each edge stores the keypoint's face
+and its in-face pixel measurement; ``multipinhole_project`` rotates the
+camera-frame point into that face's frame and applies the shared pinhole
+intrinsics (cpp:116-124). The analytic Jacobians compose the pinhole
+projection Jacobian with the face rotation and the SE3 action
+(cpp:61-114 pose-only; cpp:164-223 pose+point).
+
+Here the same math is one vmapped function; the face rotation is a gather
+from the (5,3,3) tensor. Tangent convention: left-multiplicative SE3 update
+T <- exp([rho, phi]) T, so dXc/d(rho,phi) = [I | -hat(Xc)].
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from cubemapslam_tpu.camera import CubemapCamera
+from cubemapslam_tpu.geometry import hat
+
+
+def project_to_face(cam: CubemapCamera, Xc: jnp.ndarray,
+                    face: jnp.ndarray) -> jnp.ndarray:
+    """Camera-frame point(s) -> in-face pixel(s) on the *given* face
+    (multipinhole_project / TransformRaysToTargetFace)."""
+    R_face = cam.face_R[jnp.clip(face, 0, 4)]
+    local = jnp.einsum("...ij,...j->...i", R_face, Xc)
+    fx, fy, cx, cy = (cam.fxycxy[0], cam.fxycxy[1],
+                      cam.fxycxy[2], cam.fxycxy[3])
+    z = local[..., 2]
+    z_safe = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
+    return jnp.stack([local[..., 0] * fx / z_safe + cx,
+                      local[..., 1] * fy / z_safe + cy], axis=-1)
+
+
+def reproj_residual(cam: CubemapCamera, R: jnp.ndarray, t: jnp.ndarray,
+                    Xw: jnp.ndarray, face: jnp.ndarray,
+                    uv_face: jnp.ndarray) -> jnp.ndarray:
+    """e = observed - projected, in in-face pixels. Broadcasts over edges."""
+    Xc = jnp.einsum("...ij,...j->...i", R, Xw) + t
+    return uv_face - project_to_face(cam, Xc, face)
+
+
+def _proj_jac_local(cam: CubemapCamera, local: jnp.ndarray) -> jnp.ndarray:
+    """du/dlocal for the shared pinhole: (...,2,3)."""
+    fx, fy = cam.fxycxy[0], cam.fxycxy[1]
+    x, y, z = local[..., 0], local[..., 1], local[..., 2]
+    z_safe = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
+    iz = 1.0 / z_safe
+    iz2 = iz * iz
+    zero = jnp.zeros_like(x)
+    return jnp.stack([
+        jnp.stack([fx * iz, zero, -fx * x * iz2], -1),
+        jnp.stack([zero, fy * iz, -fy * y * iz2], -1),
+    ], -2)
+
+
+def reproj_jacobians(cam: CubemapCamera, R: jnp.ndarray, t: jnp.ndarray,
+                     Xw: jnp.ndarray, face: jnp.ndarray
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Analytic (de/dxi (...,2,6), de/dXw (...,2,3)).
+
+    de/dxi = -J_proj R_face [I | -hat(Xc)]   (xi = [rho, phi], left update)
+    de/dXw = -J_proj R_face R
+    Mirrors g2o_cubemap_vertices_edges.cpp:61-223 (modulo the tangent
+    ordering, which is internal to this optimizer).
+    """
+    Xc = jnp.einsum("...ij,...j->...i", R, Xw) + t
+    R_face = cam.face_R[jnp.clip(face, 0, 4)]
+    local = jnp.einsum("...ij,...j->...i", R_face, Xc)
+    Jp = _proj_jac_local(cam, local)                    # (...,2,3)
+    JR = Jp @ R_face                                    # (...,2,3) d/dXc
+    J_rho = -JR
+    J_phi = JR @ hat(Xc)                                # -JR @ (-hat) = +
+    J_pose = jnp.concatenate([J_rho, J_phi], axis=-1)   # (...,2,6)
+    J_point = -(JR @ R)
+    return J_pose, J_point
