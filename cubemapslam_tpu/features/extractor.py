@@ -156,25 +156,28 @@ def _nms3(score: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(score >= neigh_max, score, 0.0)
 
 
-def _topk_grid(score: jnp.ndarray, cell: int, k: int
+def _topk_grid(score: jnp.ndarray, cell: int, k: int, per_cell: int = 4
                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Best-response-per-cell then global top-k: the fixed-shape equivalent of
-    DistributeOctTree (ORBExtractor.cpp:511-737). Returns (y, x, response)
-    each (k,); response 0 marks an unfilled slot."""
+    """Top-`per_cell` responses per cell, then global top-k: the fixed-shape
+    equivalent of DistributeOctTree (ORBExtractor.cpp:511-737). Keeping
+    several survivors per cell (not just the max) is what makes detection
+    repeatable — the per-cell winner flips between frames, runners-up do
+    not. Returns (y, x, response) each (k,); response 0 marks an unfilled
+    slot."""
     H, W = score.shape
     Hc = -(-H // cell)
     Wc = -(-W // cell)
     pad = jnp.pad(score, ((0, Hc * cell - H), (0, Wc * cell - W)))
     cells = pad.reshape(Hc, cell, Wc, cell).transpose(0, 2, 1, 3)
     cells = cells.reshape(Hc * Wc, cell * cell)
-    best = cells.max(axis=1)
-    arg = cells.argmax(axis=1).astype(jnp.int32)
+    c_val, c_arg = jax.lax.top_k(cells, per_cell)       # (ncells, C)
     cy = jax.lax.broadcasted_iota(jnp.int32, (Hc, Wc), 0).reshape(-1)
     cx = jax.lax.broadcasted_iota(jnp.int32, (Hc, Wc), 1).reshape(-1)
-    ys = cy * cell + arg // cell
-    xs = cx * cell + arg % cell
-    k_eff = min(k, Hc * Wc)
-    top_val, top_idx = jax.lax.top_k(best, k_eff)
+    ys = (cy[:, None] * cell + c_arg // cell).reshape(-1)
+    xs = (cx[:, None] * cell + c_arg % cell).reshape(-1)
+    vals = c_val.reshape(-1)
+    k_eff = min(k, vals.shape[0])
+    top_val, top_idx = jax.lax.top_k(vals, k_eff)
     y = ys[top_idx]
     x = xs[top_idx]
     if k_eff < k:

@@ -176,7 +176,7 @@ def search_by_projection(query_rays_cam: jnp.ndarray,
                          query_valid: jnp.ndarray,
                          kp, cam: CubemapCamera,
                          scale_factors: jnp.ndarray,
-                         radius_px: float,
+                         radius_px,
                          level_lo_off: int, level_hi_off: int,
                          th: float = TH_HIGH,
                          nn_ratio: Optional[float] = None,
@@ -206,8 +206,10 @@ def search_by_projection(query_rays_cam: jnp.ndarray,
     dist = hamming_matrix(bits_q, bits_t)
 
     fx = cam.fxycxy[0]
-    r_eff = radius_px * scale_factors[jnp.clip(query_levels, 0,
-                                               scale_factors.shape[0] - 1)]
+    # radius_px may be a scalar or a per-query (Q,) array (the viewing-cos
+    # dependent radius of the local-map search, ORBMatcher.cpp:380-386)
+    r_eff = jnp.asarray(radius_px) * scale_factors[
+        jnp.clip(query_levels, 0, scale_factors.shape[0] - 1)]
     cos_win = jnp.cos(jnp.arctan(r_eff / fx))          # (Q,)
     ray_dot = qn @ kp.rays.T                            # (Q, N)
     gate = ray_dot >= cos_win[:, None]

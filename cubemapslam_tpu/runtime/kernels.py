@@ -1,0 +1,251 @@
+"""Jitted device stages for tracking and local mapping.
+
+Each function here is one fixed-shape jitted program; the host state machine
+(runtime/system.py) strings them together. Citations point at the reference
+logic each stage re-implements.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from cubemapslam_tpu import camera as C
+from cubemapslam_tpu import geometry as G
+from cubemapslam_tpu import matching as M
+from cubemapslam_tpu import slam_map as SM
+from cubemapslam_tpu.camera import CubemapCamera
+from cubemapslam_tpu.config import SlamConfig
+from cubemapslam_tpu.optim.pose_opt import pose_optimization
+from cubemapslam_tpu.optim.ba import BAProblem, bundle_adjust
+from cubemapslam_tpu.solvers import (initialize_two_view, triangulate_rays)
+from cubemapslam_tpu.features.extractor import Keypoints
+
+
+class TrackingKernels:
+    """Factory that jit-compiles all per-frame stages for one geometry."""
+
+    def __init__(self, cfg: SlamConfig, cam: CubemapCamera):
+        self.cfg = cfg
+        self.cam = cam
+        self.scale_factors = jnp.asarray(cfg.scale_factors, jnp.float32)
+        self.level_sigma2 = jnp.asarray(cfg.level_sigma2, jnp.float32)
+        self.inv_level_sigma2 = 1.0 / self.level_sigma2
+        self.log_scale = float(jnp.log(jnp.float32(cfg.scale_factor)))
+
+    # ------------------------------------------------------------------
+    # Initialization (CubemapInitialization + CreateInitialMapCubemap,
+    # Tracking.cpp:391-565)
+    # ------------------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def match_for_initialization(self, kp_ref: Keypoints, kp_cur: Keypoints):
+        res = M.search_for_initialization(
+            kp_ref, kp_cur, self.cam, window_px=100.0, nn_ratio=0.9)
+        return res.idx, res.ok, res.count
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def two_view_init(self, key, kp_ref: Keypoints, kp_cur: Keypoints,
+                      m_idx, m_ok):
+        """Run ray RANSAC init over the matched pairs (fixed N1 length)."""
+        rays1 = kp_ref.rays
+        rays2 = kp_cur.rays[m_idx]
+        uv1 = kp_ref.uv
+        uv2 = kp_cur.uv[m_idx]
+        res = initialize_two_view(
+            self.cam, key, rays1, rays2, uv1, uv2, m_ok,
+            n_iters=self.cfg.init_ransac_iters)
+        return res
+
+    # ------------------------------------------------------------------
+    # Motion-model tracking (TrackWithMotionModel, Tracking.cpp:620-677)
+    # ------------------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=(0,), static_argnames=("radius",))
+    def track_last_frame(self, arena: SM.MapArena, kp_cur: Keypoints,
+                         last_assoc, last_outlier, last_kp_level,
+                         R_pred, t_pred, radius: float = 15.0):
+        """Project last frame's landmarks into the predicted pose and match
+        (SearchByProjection frame-vs-last, ORBMatcher.cpp:130-251).
+
+        Returns assoc (N,) landmark ids for current keypoints (-1 none).
+        """
+        lm = last_assoc
+        has = (lm >= 0) & ~last_outlier
+        has &= jnp.where(lm >= 0, arena.lm_valid[jnp.maximum(lm, 0)], False)
+        Xw = arena.lm_pos[jnp.maximum(lm, 0)]
+        Xc = G.se3_apply(R_pred, t_pred, Xw)
+        res = M.search_by_projection(
+            Xc, arena.lm_desc[jnp.maximum(lm, 0)], last_kp_level, has,
+            kp_cur, self.cam, self.scale_factors, radius,
+            level_lo_off=-1, level_hi_off=1, th=M.TH_HIGH,
+            query_angles=None, check_orientation=False)
+        # per-current-kp landmark assoc; scatter-max so losing queries
+        # (which carry -1) never clobber a winner's entry
+        assoc = jnp.full((kp_cur.n,), SM.NO_LM, jnp.int32)
+        assoc = assoc.at[res.idx].max(
+            jnp.where(res.ok, lm, SM.NO_LM).astype(jnp.int32))
+        return assoc, jnp.sum((assoc >= 0).astype(jnp.int32))
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def track_reference_kf(self, arena: SM.MapArena, kp_cur: Keypoints,
+                           ref_kf: jnp.ndarray):
+        """Match current frame against a keyframe's landmark-bearing features
+        (replaces SearchByBoW frame-vs-KF, ORBMatcher.cpp:409-539 — on TPU
+        the full Hamming matmul with NN-ratio 0.7 + rotation histogram is
+        cheaper than vocabulary alignment)."""
+        kf_desc = arena.kf_desc[ref_kf]
+        kf_lm = arena.kf_obs_lm[ref_kf]
+        kf_has = (kf_lm >= 0) & arena.kf_kp_valid[ref_kf]
+        kf_has &= jnp.where(kf_lm >= 0,
+                            arena.lm_valid[jnp.maximum(kf_lm, 0)], False)
+        bits_kf = M.unpack_descriptors(kf_desc)
+        bits_cur = M.unpack_descriptors(kp_cur.desc)
+        dist = M.hamming_matrix(bits_kf, bits_cur)
+        gate = kf_has[:, None] & kp_cur.valid[None, :]
+        best_idx, best, _, second = M._masked_top2(dist, gate)
+        ok = (best <= M.TH_LOW) & (best < 0.7 * second)
+        ok = M.rotation_consistency(arena.kf_angle[ref_kf],
+                                    kp_cur.angle[best_idx], ok)
+        ok = M.resolve_one_to_one(best_idx, best, ok, kp_cur.n)
+        assoc = jnp.full((kp_cur.n,), SM.NO_LM, jnp.int32)
+        assoc = assoc.at[best_idx].max(
+            jnp.where(ok, kf_lm, SM.NO_LM).astype(jnp.int32))
+        return assoc, jnp.sum((assoc >= 0).astype(jnp.int32))
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def optimize_pose(self, arena: SM.MapArena, kp_cur: Keypoints,
+                      assoc, R0, t0):
+        """PoseOptimization on the current associations
+        (Optimizer.cpp:48-190). Returns (R, t, outlier mask, n_inliers)."""
+        has = (assoc >= 0) & kp_cur.valid
+        has &= jnp.where(assoc >= 0,
+                         arena.lm_valid[jnp.maximum(assoc, 0)], False)
+        Xw = arena.lm_pos[jnp.maximum(assoc, 0)]
+        uv_face = C.cubemap_uv_to_in_face(self.cam, kp_cur.uv)
+        inv_s2 = self.inv_level_sigma2[
+            jnp.clip(kp_cur.level, 0, self.cfg.n_levels - 1)]
+        R, t, inl, n = pose_optimization(
+            self.cam, R0, t0, Xw, kp_cur.face, uv_face, inv_s2, has)
+        outlier = has & ~inl
+        return R, t, outlier, n
+
+    # ------------------------------------------------------------------
+    # Local map tracking (TrackLocalMap, Tracking.cpp:679-719)
+    # ------------------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=(0,),
+                       static_argnames=("max_local",))
+    def select_local_landmarks(self, arena: SM.MapArena, assoc,
+                               max_local: int = 8192):
+        """Local keyframes by observation voting (UpdateLocalKeyFrames,
+        Tracking.cpp:881-988) then their landmarks (UpdateLocalPoints,
+        855-878), compacted to a fixed-size index set."""
+        K, N, L = arena.n_kf_cap, arena.n_feat, arena.n_lm_cap
+        member = jnp.zeros(L + 1, bool).at[
+            jnp.where(assoc >= 0, assoc, L)].set(True)[:-1]
+        obs = arena.kf_obs_lm
+        obs_ok = (obs >= 0) & arena.kf_kp_valid & arena.kf_valid[:, None]
+        votes = jnp.sum(
+            jnp.where(obs_ok & member[jnp.maximum(obs, 0)], 1, 0), axis=1)
+        # top-80 voting KFs (cap, Tracking.cpp:934)
+        k_eff = min(self.cfg.max_local_keyframes, K)
+        _, local_kfs = jax.lax.top_k(votes, k_eff)
+        local_mask = jnp.zeros(K, bool).at[local_kfs].set(
+            jax.lax.top_k(votes, k_eff)[0] > 0)
+        # their landmarks
+        in_local = local_mask[:, None] & obs_ok
+        lm_local = jnp.zeros(L + 1, bool).at[
+            jnp.where(in_local, obs, L)].set(True)[:-1]
+        lm_local &= arena.lm_valid
+        # compact to fixed max_local indices (score: observation counts)
+        score = jnp.where(lm_local, 1.0, -1.0)
+        sel_score, sel = jax.lax.top_k(score, min(max_local, L))
+        return sel.astype(jnp.int32), sel_score > 0, local_mask
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def search_local_points(self, arena: SM.MapArena, kp_cur: Keypoints,
+                            assoc, sel, sel_ok, R, t):
+        """isInFrustum gates + windowed projection match for the selected
+        local landmarks (SearchLocalPoints Tracking.cpp:794-843,
+        Frame::isInFrustum Frame.cpp:197-249, SearchByProjection
+        ORBMatcher.cpp:51-128). Merges new matches into assoc. Also returns
+        visible/found counter updates."""
+        Xw = arena.lm_pos[sel]
+        Xc = G.se3_apply(R, t, Xw)
+        dist = jnp.linalg.norm(Xc, axis=-1)
+        Ow = -R.T @ t
+        PO = Xw - Ow
+        # viewing angle vs landmark normal
+        view_cos = jnp.sum(PO * arena.lm_normal[sel], axis=-1) / jnp.maximum(
+            dist, 1e-12)
+        in_range = ((dist >= 0.8 * arena.lm_min_dist[sel])
+                    & (dist <= 1.2 * arena.lm_max_dist[sel]))
+        ray_n = Xc / jnp.maximum(dist, 1e-12)[:, None]
+        in_fov = ray_n[:, 2] >= self.cam.cos_fov_th
+        _, face = C.ray_to_cubemap(self.cam, ray_n)
+        frustum = (sel_ok & in_fov & (face != C.UNKNOWN_FACE)
+                   & in_range & (view_cos > 0.5))
+        # not already matched in this frame
+        member = jnp.zeros(arena.n_lm_cap + 1, bool).at[
+            jnp.where(assoc >= 0, assoc, arena.n_lm_cap)].set(True)[:-1]
+        already = member[sel]
+        query_ok = frustum & ~already
+        lvl = SM.predict_scale(dist, arena.lm_max_dist[sel],
+                               self.log_scale, self.cfg.n_levels)
+        # radius by viewing cos (RadiusByViewingCos, ORBMatcher.cpp:380-386)
+        radius = jnp.where(view_cos > 0.998, 2.5, 4.0)
+        # target keypoints without associations
+        target_free = assoc < 0
+        res = M.search_by_projection(
+            Xc, arena.lm_desc[sel], lvl, query_ok, kp_cur, self.cam,
+            self.scale_factors, radius, level_lo_off=-1, level_hi_off=0,
+            th=M.TH_HIGH, nn_ratio=0.8, target_free=target_free)
+        assoc_new = assoc.at[res.idx].max(
+            jnp.where(res.ok, sel, SM.NO_LM).astype(jnp.int32))
+        # counter updates (IncreaseVisible / IncreaseFound,
+        # Tracking.cpp:800-833, 700-707)
+        vis_add = jnp.zeros(arena.n_lm_cap, jnp.int32).at[sel].add(
+            frustum.astype(jnp.int32))
+        return assoc_new, vis_add
+
+    # ------------------------------------------------------------------
+    # Keyframe creation
+    # ------------------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def insert_keyframe(self, arena: SM.MapArena, slot, kp: Keypoints,
+                        assoc, outlier, R, t, frame_id, timestamp):
+        """Write a frame into arena row `slot` (CreateNewKeyFrame,
+        Tracking.cpp:776-792 + LocalMapping::ProcessNewKeyFrame attaching
+        observations, LocalMapping.cpp:133-173)."""
+        good_assoc = jnp.where(outlier, SM.NO_LM, assoc)
+        arena = arena._replace(
+            kf_R=arena.kf_R.at[slot].set(R),
+            kf_t=arena.kf_t.at[slot].set(t),
+            kf_valid=arena.kf_valid.at[slot].set(True),
+            kf_frame_id=arena.kf_frame_id.at[slot].set(frame_id),
+            kf_timestamp=arena.kf_timestamp.at[slot].set(timestamp),
+            kf_uv=arena.kf_uv.at[slot].set(kp.uv),
+            kf_rays=arena.kf_rays.at[slot].set(kp.rays),
+            kf_face=arena.kf_face.at[slot].set(kp.face),
+            kf_level=arena.kf_level.at[slot].set(kp.level),
+            kf_angle=arena.kf_angle.at[slot].set(kp.angle),
+            kf_desc=arena.kf_desc.at[slot].set(kp.desc),
+            kf_kp_valid=arena.kf_kp_valid.at[slot].set(kp.valid),
+            kf_obs_lm=arena.kf_obs_lm.at[slot].set(good_assoc),
+        )
+        return SM.update_landmark_stats(arena, self.scale_factors)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def update_found_counters(self, arena: SM.MapArena, assoc, outlier,
+                              vis_add):
+        found_add = jnp.zeros(arena.n_lm_cap, jnp.int32).at[
+            jnp.where((assoc >= 0) & ~outlier, assoc, 0)].add(
+            jnp.where((assoc >= 0) & ~outlier, 1, 0))
+        return arena._replace(
+            lm_visible=arena.lm_visible + vis_add,
+            lm_found=arena.lm_found + found_add)

@@ -1,0 +1,268 @@
+"""The map arena: fixed-capacity array-of-structs SLAM map state.
+
+Replaces the reference's pointer-graph map — Map (src/Map.cpp),
+KeyFrame (src/KeyFrame.cpp), MapPoint (src/MapPoint.cpp) — with preallocated
+tables + validity masks (SURVEY.md §7 step 8). Key re-designs:
+
+* Observations live in ONE place: ``kf_obs_lm[k, i]`` = landmark id observed
+  by feature i of keyframe k (-1 if none). Every per-landmark statistic the
+  reference maintains incrementally under mutexes (observation counts,
+  normals, depth bands, distinctive descriptors — MapPoint.cpp:105-385) is
+  derived by segment reductions over this table, so there is no
+  add/erase-observation bookkeeping protocol and no lock discipline.
+* The covisibility graph (KeyFrame::UpdateConnections, KeyFrame.cpp:315-404)
+  is never stored: the weight matrix is ``O Oᵀ`` of the binary KF-landmark
+  incidence — one MXU matmul, recomputed on demand.
+* MapPoint::Replace (MapPoint.cpp:176-214) is a forwarding gather: fused
+  landmark ids are rewritten through a redirect table in one pass.
+* The distinctive descriptor (min-median-Hamming, MapPoint.cpp:243-308)
+  becomes closest-to-majority: majority bit vector by segment-summing
+  unpacked bits, then argmin Hamming to it — a fixed-shape equivalent.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cubemapslam_tpu import matching as M
+
+NO_LM = -1
+
+
+class MapArena(NamedTuple):
+    """All device-side map state. K keyframes x N features, L landmarks."""
+
+    # keyframes
+    kf_R: jnp.ndarray          # (K,3,3) world->cam
+    kf_t: jnp.ndarray          # (K,3)
+    kf_valid: jnp.ndarray      # (K,) bool
+    kf_frame_id: jnp.ndarray   # (K,) int32 source frame id
+    kf_timestamp: jnp.ndarray  # (K,) float64-as-float32 seconds
+    # per-keyframe features
+    kf_uv: jnp.ndarray         # (K,N,2) cubemap cross pixels
+    kf_rays: jnp.ndarray       # (K,N,3) unit bearings (camera frame)
+    kf_face: jnp.ndarray       # (K,N) int32
+    kf_level: jnp.ndarray      # (K,N) int32
+    kf_angle: jnp.ndarray      # (K,N) float32
+    kf_desc: jnp.ndarray       # (K,N,8) uint32
+    kf_kp_valid: jnp.ndarray   # (K,N) bool
+    kf_obs_lm: jnp.ndarray     # (K,N) int32 landmark id or NO_LM
+    # landmarks
+    lm_pos: jnp.ndarray        # (L,3) world
+    lm_valid: jnp.ndarray      # (L,) bool
+    lm_desc: jnp.ndarray       # (L,8) uint32 distinctive descriptor
+    lm_normal: jnp.ndarray     # (L,3) mean viewing direction
+    lm_min_dist: jnp.ndarray   # (L,) scale-invariance band
+    lm_max_dist: jnp.ndarray   # (L,)
+    lm_visible: jnp.ndarray    # (L,) int32  (IncreaseVisible)
+    lm_found: jnp.ndarray      # (L,) int32  (IncreaseFound)
+    lm_first_kf: jnp.ndarray   # (L,) int32 creating keyframe
+    lm_first_frame: jnp.ndarray  # (L,) int32 creating frame id
+
+    @property
+    def n_kf_cap(self):
+        return self.kf_R.shape[0]
+
+    @property
+    def n_feat(self):
+        return self.kf_uv.shape[1]
+
+    @property
+    def n_lm_cap(self):
+        return self.lm_pos.shape[0]
+
+
+def make_arena(max_kf: int, n_feat: int, max_lm: int) -> MapArena:
+    K, N, L = max_kf, n_feat, max_lm
+    eye = jnp.broadcast_to(jnp.eye(3), (K, 3, 3))
+    return MapArena(
+        kf_R=jnp.array(eye), kf_t=jnp.zeros((K, 3)),
+        kf_valid=jnp.zeros(K, bool),
+        kf_frame_id=jnp.full(K, -1, jnp.int32),
+        kf_timestamp=jnp.zeros(K, jnp.float32),
+        kf_uv=jnp.zeros((K, N, 2)), kf_rays=jnp.zeros((K, N, 3)),
+        kf_face=jnp.full((K, N), -1, jnp.int32),
+        kf_level=jnp.zeros((K, N), jnp.int32),
+        kf_angle=jnp.zeros((K, N)),
+        kf_desc=jnp.zeros((K, N, 8), jnp.uint32),
+        kf_kp_valid=jnp.zeros((K, N), bool),
+        kf_obs_lm=jnp.full((K, N), NO_LM, jnp.int32),
+        lm_pos=jnp.zeros((L, 3)), lm_valid=jnp.zeros(L, bool),
+        lm_desc=jnp.zeros((L, 8), jnp.uint32),
+        lm_normal=jnp.zeros((L, 3)),
+        lm_min_dist=jnp.zeros(L), lm_max_dist=jnp.zeros(L),
+        lm_visible=jnp.ones(L, jnp.int32),
+        lm_found=jnp.ones(L, jnp.int32),
+        lm_first_kf=jnp.full(L, -1, jnp.int32),
+        lm_first_frame=jnp.full(L, -1, jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Derived quantities (segment reductions over kf_obs_lm)
+# ---------------------------------------------------------------------------
+
+def _flat_obs(arena: MapArena):
+    """Flatten (K,N) observation table; invalid entries point at a dump slot
+    (index L, one past the landmark table)."""
+    lm = arena.kf_obs_lm.reshape(-1)
+    kp_ok = arena.kf_kp_valid.reshape(-1)
+    kf_ok = jnp.repeat(arena.kf_valid, arena.n_feat)
+    live = (lm >= 0) & kp_ok & kf_ok
+    live &= jnp.where(lm >= 0, arena.lm_valid[jnp.maximum(lm, 0)], False)
+    seg = jnp.where(live, lm, arena.n_lm_cap)
+    return seg, live
+
+
+def observation_counts(arena: MapArena) -> jnp.ndarray:
+    """(L,) number of keyframe observations per landmark
+    (MapPoint::Observations)."""
+    seg, live = _flat_obs(arena)
+    cnt = jnp.zeros(arena.n_lm_cap + 1, jnp.int32).at[seg].add(
+        live.astype(jnp.int32))
+    return cnt[:-1]
+
+
+def covisibility_matrix(arena: MapArena) -> jnp.ndarray:
+    """(K,K) shared-landmark counts (KeyFrame::UpdateConnections weights,
+    KeyFrame.cpp:315-404) as one incidence matmul; diagonal zeroed."""
+    K, L = arena.n_kf_cap, arena.n_lm_cap
+    seg, live = _flat_obs(arena)
+    kf_idx = jnp.repeat(jnp.arange(K, dtype=jnp.int32), arena.n_feat)
+    O = jnp.zeros((K, L + 1)).at[kf_idx, seg].max(
+        live.astype(jnp.float32))
+    O = O[:, :-1]
+    W = jax.lax.dot_general(O, O, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    W = W * (1.0 - jnp.eye(K))
+    return W.astype(jnp.int32)
+
+
+def update_landmark_stats(arena: MapArena,
+                          scale_factors: jnp.ndarray) -> MapArena:
+    """Recompute lm_normal, lm_min/max_dist and the distinctive descriptor
+    for ALL landmarks from the observation table (replaces incremental
+    MapPoint::UpdateNormalAndDepth cpp:332-385 and
+    ComputeDistinctiveDescriptors cpp:243-308)."""
+    K, N, L = arena.n_kf_cap, arena.n_feat, arena.n_lm_cap
+    seg, live = _flat_obs(arena)
+    kf_idx = jnp.repeat(jnp.arange(K, dtype=jnp.int32), N)
+
+    # camera centers Ow = -Rᵀt
+    Ow = -jnp.einsum("kij,ki->kj", arena.kf_R, arena.kf_t)  # (K,3)
+    lm_of = jnp.maximum(arena.kf_obs_lm.reshape(-1), 0)
+    d = arena.lm_pos[lm_of] - Ow[kf_idx]                     # (KN,3)
+    dist = jnp.linalg.norm(d, axis=-1)
+    dir_n = d / jnp.maximum(dist, 1e-12)[:, None]
+    w = live.astype(jnp.float32)
+    normal_sum = jnp.zeros((L + 1, 3)).at[seg].add(dir_n * w[:, None])
+    cnt = jnp.zeros(L + 1).at[seg].add(w)
+    normal = normal_sum[:-1] / jnp.maximum(cnt[:-1, None], 1.0)
+    nn = jnp.linalg.norm(normal, axis=-1, keepdims=True)
+    normal = normal / jnp.maximum(nn, 1e-12)
+
+    # depth band from the REFERENCE (first) keyframe's distance and level
+    # (UpdateNormalAndDepth cpp:360-371): maxDist = dist*scale^level,
+    # minDist = maxDist / scale^(nLevels-1)
+    ref_kf = jnp.clip(arena.lm_first_kf, 0, K - 1)
+    d_ref = jnp.linalg.norm(
+        arena.lm_pos - Ow[ref_kf], axis=-1)
+    lev = arena.kf_level.reshape(-1)
+    lev_ref = jnp.zeros(L + 1, jnp.int32).at[seg].max(
+        jnp.where(live & (kf_idx == ref_kf[lm_of]), lev, 0))
+    sf = scale_factors[jnp.clip(lev_ref[:-1], 0,
+                                scale_factors.shape[0] - 1)]
+    n_levels = scale_factors.shape[0]
+    max_dist = d_ref * sf
+    min_dist = max_dist / scale_factors[n_levels - 1]
+
+    # distinctive descriptor = observation descriptor closest to the
+    # bitwise-majority descriptor
+    bits = M.unpack_descriptors(
+        arena.kf_desc.reshape(-1, 8))                        # (KN,256)
+    bit_sum = jnp.zeros((L + 1, 256)).at[seg].add(bits * w[:, None])
+    majority = (bit_sum[:-1] > 0.5 * jnp.maximum(cnt[:-1, None], 1.0))
+    ham = jnp.sum(bits != majority[jnp.minimum(seg, L - 1)].astype(
+        jnp.float32), axis=-1)
+    ham = jnp.where(live, ham, 1e9)
+    best_val = jnp.full(L + 1, 1e9).at[seg].min(ham)
+    is_best = live & (ham <= best_val[seg])
+    # resolve ties by flat index: smallest wins
+    flat_idx = jnp.arange(K * N, dtype=jnp.int32)
+    best_idx = jnp.full(L + 1, K * N, jnp.int32).at[seg].min(
+        jnp.where(is_best, flat_idx, K * N))
+    safe_best = jnp.minimum(best_idx[:-1], K * N - 1)
+    desc = arena.kf_desc.reshape(-1, 8)[safe_best]
+
+    has_obs = cnt[:-1] > 0
+    return arena._replace(
+        lm_normal=jnp.where(has_obs[:, None], normal, arena.lm_normal),
+        lm_min_dist=jnp.where(has_obs, min_dist, arena.lm_min_dist),
+        lm_max_dist=jnp.where(has_obs, max_dist, arena.lm_max_dist),
+        lm_desc=jnp.where(has_obs[:, None], desc, arena.lm_desc))
+
+
+def predict_scale(dist: jnp.ndarray, max_dist: jnp.ndarray,
+                  log_scale_factor: float, n_levels: int) -> jnp.ndarray:
+    """MapPoint::PredictScale (MapPoint.cpp:387-419): level from the
+    distance ratio."""
+    ratio = jnp.maximum(max_dist, 1e-12) / jnp.maximum(dist, 1e-12)
+    lvl = jnp.ceil(jnp.log(ratio) / log_scale_factor).astype(jnp.int32)
+    return jnp.clip(lvl, 0, n_levels - 1)
+
+
+def apply_redirect(arena: MapArena, redirect: jnp.ndarray) -> MapArena:
+    """Rewrite all observation links through a forwarding table
+    (MapPoint::Replace semantics in one gather). redirect: (L,) int32 with
+    redirect[l] = l for live landmarks, target id for fused ones."""
+    lm = arena.kf_obs_lm
+    new = jnp.where(lm >= 0, redirect[jnp.maximum(lm, 0)], lm)
+    return arena._replace(kf_obs_lm=new)
+
+
+def redundant_keyframe_scores(arena: MapArena) -> Tuple[jnp.ndarray,
+                                                        jnp.ndarray]:
+    """Per-KF (n_redundant, n_total) for KeyFrameCulling
+    (LocalMapping.cpp:561-619): an observation is redundant when >=3 OTHER
+    keyframes see the landmark at the same or finer scale (level' <= level+1).
+    Computed from an (L,levels) level histogram by segment-sum."""
+    K, N, L = arena.n_kf_cap, arena.n_feat, arena.n_lm_cap
+    seg, live = _flat_obs(arena)
+    lev = jnp.clip(arena.kf_level.reshape(-1), 0, 15)
+    onehot = jax.nn.one_hot(lev, 16, dtype=jnp.float32) * live[:, None]
+    hist = jnp.zeros((L + 1, 16)).at[seg].add(onehot)       # (L+1,16)
+    cum = jnp.cumsum(hist, axis=1)                          # levels <= j
+    idx = jnp.minimum(lev + 1, 15)
+    n_le = cum[seg, idx]                                    # includes self
+    n_others = n_le - 1.0
+    redundant = live & (n_others >= 3)
+    kf_idx = jnp.repeat(jnp.arange(K, dtype=jnp.int32), N)
+    n_red = jnp.zeros(K, jnp.int32).at[kf_idx].add(
+        redundant.astype(jnp.int32))
+    n_tot = jnp.zeros(K, jnp.int32).at[kf_idx].add(live.astype(jnp.int32))
+    return n_red, n_tot
+
+
+def ba_edges_from_arena(cam, arena: MapArena, cam_sel: jnp.ndarray,
+                        inv_level_sigma2: jnp.ndarray):
+    """Flatten observations of the selected keyframes into BA COO arrays.
+
+    cam_sel: (K,) bool — which keyframes contribute edges. Returns
+    (obs_cam (KN,), obs_pt (KN,), obs_face, obs_uv_inface, obs_inv_sigma2,
+    obs_valid) covering the full (K*N) table with validity masking — fixed
+    shape, no compaction.
+    """
+    from cubemapslam_tpu.camera import cubemap_uv_to_in_face
+    K, N = arena.n_kf_cap, arena.n_feat
+    seg, live = _flat_obs(arena)
+    kf_idx = jnp.repeat(jnp.arange(K, dtype=jnp.int32), N)
+    live &= cam_sel[kf_idx]
+    lm = jnp.maximum(arena.kf_obs_lm.reshape(-1), 0)
+    lev = jnp.clip(arena.kf_level.reshape(-1), 0,
+                   inv_level_sigma2.shape[0] - 1)
+    uv_face = cubemap_uv_to_in_face(cam, arena.kf_uv.reshape(-1, 2))
+    return (kf_idx, lm, arena.kf_face.reshape(-1),
+            uv_face, inv_level_sigma2[lev], live)

@@ -94,6 +94,19 @@ def warp_nearest(fisheye: jnp.ndarray, wm: WarpMap) -> jnp.ndarray:
     return jnp.where(wm.valid, out, 0.0)
 
 
+def fov_mask(cam: CubemapCamera, cube_w: int, cube_h: int) -> jnp.ndarray:
+    """(Hc,Wc) {0,1} mask of cubemap pixels whose ray lies within the
+    fisheye FOV cone (the role of the Masks/*.png cubemap masks +
+    ``withFisheyeMask``: regions beyond fov/2 from the optical axis are
+    never imaged and must not produce features)."""
+    ju = jnp.arange(cube_w, dtype=jnp.float32)
+    jv = jnp.arange(cube_h, dtype=jnp.float32)
+    uu, vv = jnp.meshgrid(ju, jv)
+    ray, face = C.cubemap_to_ray(cam, jnp.stack([uu, vv], axis=-1))
+    ok = (face != C.UNKNOWN_FACE) & (ray[..., 2] >= cam.cos_fov_th)
+    return ok.astype(jnp.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("face_w", "face_h"))
 def extract_faces(cube: jnp.ndarray, face_w: int, face_h: int) -> jnp.ndarray:
     """Split the 3Wx3H cross into a (5, face_h, face_w) stack ordered by face
