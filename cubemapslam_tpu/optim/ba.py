@@ -50,6 +50,10 @@ class BAProblem(NamedTuple):
     obs_valid: jnp.ndarray    # (E,) bool
 
 
+def _psum(x, axis_name):
+    return x if axis_name is None else jax.lax.psum(x, axis_name)
+
+
 def _edge_terms(cam, prob: BAProblem, w: jnp.ndarray):
     """Residuals + weighted normal-equation blocks for all edges."""
     Rc = prob.R[prob.obs_cam]
@@ -83,9 +87,16 @@ def _robust_cost(chi2, active, robust):
 
 
 def _lm_step(cam, prob: BAProblem, active, robust, lm_lambda,
-             cg_iters: int):
+             cg_iters: int, axis_name=None):
     """One damped GN step via Schur + matrix-free CG. Returns candidate
-    (R, t, X)."""
+    (R, t, X).
+
+    With ``axis_name`` set, the observation arrays are the local shard of an
+    SPMD program (keyframe-block partitioned edges): every segment-sum into
+    the camera/point tables is followed by a psum, so the reduced system —
+    and hence the pose/point updates — is bitwise identical on all devices
+    while each device only touches its own edges. This is the collective
+    layout of the distributed global BA (SURVEY.md §7 step 10)."""
     M = prob.R.shape[0]
     P = prob.X.shape[0]
     chi2 = _chi2(cam, prob)
@@ -93,10 +104,11 @@ def _lm_step(cam, prob: BAProblem, active, robust, lm_lambda,
     w = jnp.where(active, w, 0.0)
     _, Hcc_e, Hpp_e, W_e, bc_e, bp_e = _edge_terms(cam, prob, w)
 
-    Hcc = jnp.zeros((M, 6, 6)).at[prob.obs_cam].add(Hcc_e)
-    Hpp = jnp.zeros((P, 3, 3)).at[prob.obs_pt].add(Hpp_e)
-    bc = jnp.zeros((M, 6)).at[prob.obs_cam].add(bc_e)
-    bp = jnp.zeros((P, 3)).at[prob.obs_pt].add(bp_e)
+    Hcc = _psum(jnp.zeros((M, 6, 6)).at[prob.obs_cam].add(Hcc_e),
+                axis_name)
+    Hpp = _psum(jnp.zeros((P, 3, 3)).at[prob.obs_pt].add(Hpp_e), axis_name)
+    bc = _psum(jnp.zeros((M, 6)).at[prob.obs_cam].add(bc_e), axis_name)
+    bp = _psum(jnp.zeros((P, 3)).at[prob.obs_pt].add(bp_e), axis_name)
 
     # damping (LM): scale diagonals; regularize empty blocks
     eyeP = jnp.eye(3)
@@ -118,17 +130,17 @@ def _lm_step(cam, prob: BAProblem, active, robust, lm_lambda,
         hx = (Hcc_d @ x[..., None])[..., 0]            # (M,6)
         v = (W_e.transpose(0, 2, 1)
              @ x[prob.obs_cam][..., None])[..., 0]     # (E,3)
-        s = jnp.zeros((P, 3)).at[prob.obs_pt].add(v)
+        s = _psum(jnp.zeros((P, 3)).at[prob.obs_pt].add(v), axis_name)
         y = (Hpp_inv @ s[..., None])[..., 0]           # (P,3)
         z = (W_e @ y[prob.obs_pt][..., None])[..., 0]  # (E,6)
-        coup = jnp.zeros((M, 6)).at[prob.obs_cam].add(z)
+        coup = _psum(jnp.zeros((M, 6)).at[prob.obs_cam].add(z), axis_name)
         out = hx - coup
         return jnp.where(free[:, None], out, x)
 
     # reduced rhs: bc - W Hpp^-1 bp
     yb = (Hpp_inv @ bp[..., None])[..., 0]
     zb = (W_e @ yb[prob.obs_pt][..., None])[..., 0]
-    rhs = bc - jnp.zeros((M, 6)).at[prob.obs_cam].add(zb)
+    rhs = bc - _psum(jnp.zeros((M, 6)).at[prob.obs_cam].add(zb), axis_name)
     rhs = jnp.where(free[:, None], rhs, 0.0)
 
     # block-Jacobi preconditioner
@@ -156,7 +168,7 @@ def _lm_step(cam, prob: BAProblem, active, robust, lm_lambda,
 
     # back-substitute point updates
     v = (W_e.transpose(0, 2, 1) @ dc[prob.obs_cam][..., None])[..., 0]
-    s = jnp.zeros((P, 3)).at[prob.obs_pt].add(v)
+    s = _psum(jnp.zeros((P, 3)).at[prob.obs_pt].add(v), axis_name)
     dp = (Hpp_inv @ (bp - s)[..., None])[..., 0]
     dp = jnp.where(prob.pt_valid[:, None], dp, 0.0)
 
@@ -171,7 +183,8 @@ def _lm_step(cam, prob: BAProblem, active, robust, lm_lambda,
 def bundle_adjust(cam: CubemapCamera, prob: BAProblem,
                   phase_iters: Tuple[int, ...] = (5, 10),
                   chi2_cut: float = CHI2_TH,
-                  cg_iters: int = 30
+                  cg_iters: int = 30,
+                  axis_name=None
                   ) -> Tuple[BAProblem, jnp.ndarray]:
     """Two-phase LM BA (LocalBundleAdjustment schedule, Optimizer.cpp:341-398:
     5 robust iters, chi2 outlier cut, 10 non-robust iters, final cut).
@@ -184,11 +197,12 @@ def bundle_adjust(cam: CubemapCamera, prob: BAProblem,
         def body(_, carry):
             prob, lm_lambda = carry
             chi2 = _chi2(cam, prob)
-            cost = _robust_cost(chi2, active, robust)
+            cost = _psum(_robust_cost(chi2, active, robust), axis_name)
             R_n, t_n, X_n = _lm_step(cam, prob, active, robust, lm_lambda,
-                                     cg_iters)
+                                     cg_iters, axis_name)
             cand = prob._replace(R=R_n, t=t_n, X=X_n)
-            cost_n = _robust_cost(_chi2(cam, cand), active, robust)
+            cost_n = _psum(_robust_cost(_chi2(cam, cand), active, robust),
+                           axis_name)
             improved = cost_n < cost
             prob = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(
