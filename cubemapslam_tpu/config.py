@@ -94,6 +94,9 @@ class SlamConfig:
     # --- Tracking thresholds (Tracking.cpp) ---
     min_init_keypoints: int = 100   # Tracking.cpp:397,416
     min_init_matches: int = 100     # Tracking.cpp:423
+    init_min_triangulated: int = 50  # ReconstructE arg (Initializer.cpp:116)
+    init_min_parallax_deg: float = 1.0
+    init_good_ratio: float = 0.9    # ReconstructE nMinGood (cpp:311)
     min_track_inliers: int = 30     # Tracking.cpp:716
     min_track_inliers_after_reloc: int = 50  # Tracking.cpp:712
     max_local_keyframes: int = 80   # Tracking.cpp:934

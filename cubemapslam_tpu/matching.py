@@ -149,16 +149,23 @@ class MatchResult(NamedTuple):
 def search_for_initialization(kp1, kp2, cam: CubemapCamera,
                               window_px: float = 100.0,
                               nn_ratio: float = 0.9,
-                              check_orientation: bool = True) -> MatchResult:
+                              check_orientation: bool = True,
+                              center_rays=None) -> MatchResult:
     """Two-view bootstrap matching (SearchForInitialization cpp:676-794):
     level-0 keypoints only, windowed search (angular here), NN ratio, TH_LOW,
-    one-to-one, rotation histogram."""
+    one-to-one, rotation histogram.
+
+    center_rays: optional per-kp1 window centers — the feature's LAST
+    matched direction (vbPrevMatched, cpp:687+791-793), which lets matches
+    follow features across many frames so initialization parallax can
+    accumulate; defaults to kp1's own rays."""
     bits1 = unpack_descriptors(kp1.desc)
     bits2 = unpack_descriptors(kp2.desc)
     dist = hamming_matrix(bits1, bits2)
     fx = cam.fxycxy[0]
     cos_win = jnp.cos(jnp.arctan(window_px / fx))
-    ray_dot = kp1.rays @ kp2.rays.T
+    centers = kp1.rays if center_rays is None else center_rays
+    ray_dot = centers @ kp2.rays.T
     gate = (ray_dot >= cos_win)
     gate &= (kp1.level[:, None] == 0) & (kp2.level[None, :] == 0)
     gate &= kp1.valid[:, None] & kp2.valid[None, :]

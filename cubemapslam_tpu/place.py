@@ -174,6 +174,13 @@ def detect_candidates(query_bow: jnp.ndarray, bow_table: jnp.ndarray,
     acc = jnp.where(eligible, acc, -1.0)
     best_acc = jnp.max(acc)
     ok = eligible & (acc > 0.75 * best_acc)
-    val = jnp.where(ok, scores, -1.0)
+    # return the best-scoring MEMBER of each accepted group, not its anchor
+    # (pBestCandidate, KeyFrameDatabase.cpp:170-199): the anchor's top-10
+    # covisible set may contain a higher-scoring keyframe
+    member_scores = jnp.where(nb_mask & eligible[None, :],
+                              scores[None, :], -1.0)
+    best_member = jnp.argmax(member_scores, axis=1).astype(jnp.int32)
+    val = jnp.full(K, -1.0).at[jnp.where(ok, best_member, 0)].max(
+        jnp.where(ok, acc, -1.0))
     top_val, top_idx = jax.lax.top_k(val, top_k)
     return top_idx.astype(jnp.int32), top_val > 0

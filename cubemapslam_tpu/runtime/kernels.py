@@ -42,10 +42,16 @@ class TrackingKernels:
     # ------------------------------------------------------------------
 
     @functools.partial(jax.jit, static_argnums=0)
-    def match_for_initialization(self, kp_ref: Keypoints, kp_cur: Keypoints):
+    def match_for_initialization(self, kp_ref: Keypoints, kp_cur: Keypoints,
+                                 prev_rays):
         res = M.search_for_initialization(
-            kp_ref, kp_cur, self.cam, window_px=100.0, nn_ratio=0.9)
-        return res.idx, res.ok, res.count
+            kp_ref, kp_cur, self.cam, window_px=100.0, nn_ratio=0.9,
+            center_rays=prev_rays)
+        # vbPrevMatched update: matched ref features re-center their search
+        # window on the matched current direction (cpp:791-793)
+        new_prev = jnp.where(res.ok[:, None], kp_cur.rays[res.idx],
+                             prev_rays)
+        return res.idx, res.ok, res.count, new_prev
 
     @functools.partial(jax.jit, static_argnums=0)
     def two_view_init(self, key, kp_ref: Keypoints, kp_cur: Keypoints,
@@ -57,8 +63,26 @@ class TrackingKernels:
         uv2 = kp_cur.uv[m_idx]
         res = initialize_two_view(
             self.cam, key, rays1, rays2, uv1, uv2, m_ok,
-            n_iters=self.cfg.init_ransac_iters)
+            n_iters=self.cfg.init_ransac_iters,
+            min_parallax=self.cfg.init_min_parallax_deg,
+            min_triangulated=self.cfg.init_min_triangulated,
+            good_ratio=self.cfg.init_good_ratio)
         return res
+
+    @functools.partial(jax.jit, static_argnums=(0, 3))
+    def downselect_keypoints(self, kp: Keypoints, priority, n_keep: int):
+        """Reduce an init-extractor keypoint set (3x features,
+        Tracking.cpp:96) to the arena feature width, keeping the
+        highest-priority rows. Returns (reduced Keypoints, selected
+        indices)."""
+        p = jnp.where(kp.valid, priority, -jnp.inf)
+        _, sel = jax.lax.top_k(p, n_keep)
+        sel = sel.astype(jnp.int32)
+        red = Keypoints(
+            uv=kp.uv[sel], response=kp.response[sel], angle=kp.angle[sel],
+            level=kp.level[sel], face=kp.face[sel], desc=kp.desc[sel],
+            rays=kp.rays[sel], valid=kp.valid[sel])
+        return red, sel
 
     # ------------------------------------------------------------------
     # Motion-model tracking (TrackWithMotionModel, Tracking.cpp:620-677)

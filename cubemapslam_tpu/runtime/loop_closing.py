@@ -1,0 +1,327 @@
+"""Loop detection, Sim3 computation, and loop correction.
+
+Re-implements the LoopClosing thread (src/LoopClosing.cpp): DetectLoop with
+the 3-consecutive-keyframe covisibility-consistency check (cpp:102-228),
+ComputeSim3 (SearchByBoW -> Sim3 RANSAC -> OptimizeSim3 -> Scw-projection
+acceptance, cpp:230-399), and CorrectLoop (Sim3 propagation to the covisible
+neighborhood, landmark remap + fusion, essential-graph optimization,
+cpp:401-584) — as jitted stages + a small host consistency tracker. The
+spanning tree of the reference is replaced by the sequential keyframe chain
+(consecutive KFs are covisible by construction), and the transient global-BA
+thread becomes an explicit distributed-BA call.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Set, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cubemapslam_tpu import camera as C
+from cubemapslam_tpu import geometry as G
+from cubemapslam_tpu import matching as M
+from cubemapslam_tpu import place as PL
+from cubemapslam_tpu import slam_map as SM
+from cubemapslam_tpu.optim.pose_graph import optimize_essential_graph
+from cubemapslam_tpu.optim.sim3_opt import optimize_sim3
+from cubemapslam_tpu.solvers.sim3 import sim3_ransac
+
+
+class LoopKernels:
+    def __init__(self, cfg, cam):
+        self.cfg = cfg
+        self.cam = cam
+        self.level_sigma2 = jnp.asarray(cfg.level_sigma2, jnp.float32)
+        self.inv_level_sigma2 = 1.0 / self.level_sigma2
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def match_kf_pair(self, arena: SM.MapArena, k1, k2):
+        """Landmark-feature matching between two keyframes (the SearchByBoW
+        KF-KF variant, ORBMatcher.cpp:541-674, as a full gated matmul).
+        Returns per-k1-feature index into k2 (+ok)."""
+        d1 = arena.kf_desc[k1]
+        d2 = arena.kf_desc[k2]
+        lm1 = arena.kf_obs_lm[k1]
+        lm2 = arena.kf_obs_lm[k2]
+        has1 = (lm1 >= 0) & arena.kf_kp_valid[k1]
+        has1 &= jnp.where(lm1 >= 0, arena.lm_valid[jnp.maximum(lm1, 0)],
+                          False)
+        has2 = (lm2 >= 0) & arena.kf_kp_valid[k2]
+        has2 &= jnp.where(lm2 >= 0, arena.lm_valid[jnp.maximum(lm2, 0)],
+                          False)
+        dist = M.hamming_matrix(M.unpack_descriptors(d1),
+                                M.unpack_descriptors(d2))
+        gate = has1[:, None] & has2[None, :]
+        best_idx, best, _, second = M._masked_top2(dist, gate)
+        ok = (best <= M.TH_LOW) & (best < 0.75 * second)
+        ok = M.rotation_consistency(arena.kf_angle[k1],
+                                    arena.kf_angle[k2][best_idx], ok)
+        ok = M.resolve_one_to_one(best_idx, best, ok, arena.n_feat)
+        return best_idx, ok
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def sim3_candidates(self, arena: SM.MapArena, k1, k2, idx2, ok):
+        """Matched landmark pairs in each KF's camera frame for the Sim3
+        solver (Sim3Solver ctor, Sim3Solver.cpp:41-136)."""
+        lm1 = jnp.maximum(arena.kf_obs_lm[k1], 0)
+        lm2 = jnp.maximum(arena.kf_obs_lm[k2][idx2], 0)
+        X1w = arena.lm_pos[lm1]
+        X2w = arena.lm_pos[lm2]
+        p1 = G.se3_apply(arena.kf_R[k1], arena.kf_t[k1], X1w)
+        p2 = G.se3_apply(arena.kf_R[k2], arena.kf_t[k2], X2w)
+        uv1 = arena.kf_uv[k1]
+        uv2 = arena.kf_uv[k2][idx2]
+        s1 = self.level_sigma2[jnp.clip(arena.kf_level[k1], 0,
+                                        self.cfg.n_levels - 1)]
+        lev2 = arena.kf_level[k2][idx2]
+        s2 = self.level_sigma2[jnp.clip(lev2, 0, self.cfg.n_levels - 1)]
+        return p1, p2, uv1, uv2, s1, s2
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def refine_sim3(self, arena: SM.MapArena, k1, k2, idx2, ok,
+                    s12, R12, t12):
+        """OptimizeSim3 over the matched pairs (Optimizer.cpp:888-1091)."""
+        p1, p2, uv1, uv2, s1, s2 = self.sim3_candidates(arena, k1, k2,
+                                                        idx2, ok)
+        uv1f = C.cubemap_uv_to_in_face(self.cam, uv1)
+        uv2f = C.cubemap_uv_to_in_face(self.cam, uv2)
+        f1 = arena.kf_face[k1]
+        f2 = arena.kf_face[k2][idx2]
+        return optimize_sim3(
+            self.cam, s12, R12, t12, p1, p2, uv1f, f1, uv2f, f2,
+            1.0 / s1, 1.0 / s2, ok, th2=10.0, fix_scale=False)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def propagate_and_pose_graph(self, arena: SM.MapArena,
+                                 k_cur, k_loop,
+                                 s_cl, R_cl, t_cl,
+                                 covis_th: jnp.ndarray,
+                                 loop_i, loop_j, loop_valid):
+        """CorrectLoop core (LoopClosing.cpp:442-584 +
+        OptimizeEssentialGraph): seed the current KF with the corrected Sim3
+        S_cw = S_cl * T_loop_w, propagate through its covisible set, run the
+        essential-graph optimization over loop + chain + covisibility edges,
+        recover SE3 poses and remap all landmarks.
+
+        (s_cl, R_cl, t_cl): Sim3 mapping loop-KF camera frame -> current-KF
+        camera frame. loop_i/j: previous loop edges (fixed-size, masked).
+        """
+        K = arena.n_kf_cap
+        ones = jnp.ones(K)
+        # current vertices from SE3 (scale 1)
+        s_v = ones
+        R_v = arena.kf_R
+        t_v = arena.kf_t
+        # corrected Sim3 of the current KF: S_cw = S_cl ∘ T_lw
+        S_lw = (jnp.ones(()), arena.kf_R[k_loop], arena.kf_t[k_loop])
+        S_cw_corr = G.sim3_compose(s_cl, R_cl, t_cl, *S_lw)
+        # propagate to covisible KFs of k_cur: S_iw_corr = (T_ic) ∘ S_cw_corr
+        covis = SM.covisibility_matrix(arena)
+        neigh = (covis[k_cur] >= covis_th) & arena.kf_valid
+        neigh = neigh.at[k_cur].set(True)
+        T_cw_inv = G.se3_inverse(arena.kf_R[k_cur], arena.kf_t[k_cur])
+        R_ic = jnp.einsum("kij,jl->kil", arena.kf_R, T_cw_inv[0])
+        t_ic = (jnp.einsum("kij,j->ki", arena.kf_R, T_cw_inv[1])
+                + arena.kf_t)
+        S_iw_corr = G.sim3_compose(
+            ones, R_ic, t_ic,
+            jnp.broadcast_to(S_cw_corr[0], (K,)),
+            jnp.broadcast_to(S_cw_corr[1], (K, 3, 3)),
+            jnp.broadcast_to(S_cw_corr[2], (K, 3)))
+        s_v = jnp.where(neigh, S_iw_corr[0], s_v)
+        R_v = jnp.where(neigh[:, None, None], S_iw_corr[1], R_v)
+        t_v = jnp.where(neigh[:, None], S_iw_corr[2], t_v)
+
+        # remap landmarks of the corrected neighborhood through
+        # S_old -> S_corr (LoopClosing.cpp:462-500): owner = first KF
+        own = jnp.clip(arena.lm_first_kf, 0, K - 1)
+        owned_by_neigh = neigh[own] & arena.lm_valid
+        p_cam = G.se3_apply(arena.kf_R[own], arena.kf_t[own], arena.lm_pos)
+        S_inv = G.sim3_inverse(S_iw_corr[0][own], S_iw_corr[1][own],
+                               S_iw_corr[2][own])
+        lm_new = G.sim3_apply(*S_inv, p_cam)
+        lm_pos = jnp.where(owned_by_neigh[:, None], lm_new, arena.lm_pos)
+
+        # ----- essential graph edges -----
+        # chain edges (spanning-tree substitute): (k, k+1) for valid slots
+        idx = jnp.arange(K, dtype=jnp.int32)
+        chain_i = idx
+        chain_j = jnp.minimum(idx + 1, K - 1)
+        chain_ok = arena.kf_valid & arena.kf_valid[chain_j] & (idx + 1 < K)
+        # covisibility edges >= essential_graph_min_weight (upper triangle)
+        cw = covis * (covis >= self.cfg.essential_graph_min_weight)
+        # take top-4 strong covis partners per KF to bound edge count
+        cw_val, cw_j = jax.lax.top_k(cw, 4)
+        cov_i = jnp.repeat(idx, 4)
+        cov_j = cw_j.reshape(-1).astype(jnp.int32)
+        cov_ok = (cw_val.reshape(-1) > 0) & arena.kf_valid[cov_i] \
+            & arena.kf_valid[cov_j] & (cov_i < cov_j)
+        # the new loop edge
+        new_i = jnp.asarray([k_cur], jnp.int32)
+        new_j = jnp.asarray([k_loop], jnp.int32)
+        new_ok = jnp.asarray([True])
+
+        e_i = jnp.concatenate([chain_i, cov_i, loop_i, new_i])
+        e_j = jnp.concatenate([chain_j, cov_j, loop_j, new_j])
+        e_ok = jnp.concatenate([chain_ok, cov_ok, loop_valid, new_ok])
+
+        # measurements S_ji from the SEEDED vertices (corrected where known)
+        def meas(i, j):
+            Si = (s_v[i], R_v[i], t_v[j * 0 + i])
+            Sj = (s_v[j], R_v[j], t_v[j])
+            return G.sim3_compose(*Sj, *G.sim3_inverse(*Si))
+
+        # loop-ish edges measure with corrected seeds; chain/covis edges
+        # measure with the ORIGINAL (pre-correction) relative poses so the
+        # graph pulls the loop shut (Optimizer.cpp:700-780 semantics)
+        def meas_orig(i, j):
+            Si = (jnp.ones(()), arena.kf_R[i], arena.kf_t[i])
+            Sj = (jnp.ones(()), arena.kf_R[j], arena.kf_t[j])
+            return G.sim3_compose(*Sj, *G.sim3_inverse(*Si))
+
+        m_orig = jax.vmap(meas_orig)(e_i, e_j)
+        # the new loop edge measurement: S_ji between loop and current from
+        # the computed Sim3: S_loop_cur = S_cl^-1 (maps cur->loop)
+        S_lc = G.sim3_inverse(s_cl, R_cl, t_cl)
+        n_edges = e_i.shape[0]
+        ms = m_orig[0].at[n_edges - 1].set(S_lc[0])
+        mR = m_orig[1].at[n_edges - 1].set(S_lc[1])
+        mt = m_orig[2].at[n_edges - 1].set(S_lc[2])
+
+        fixed = jnp.zeros(K, bool).at[k_loop].set(True)
+        s_o, R_o, t_o = optimize_essential_graph(
+            s_v, R_v, t_v, arena.kf_valid, fixed, e_i, e_j,
+            ms, mR, mt, e_ok, n_iters=12)
+
+        # recover SE3 (t/s) and remap all landmarks old->new
+        # (Optimizer.cpp:840-886)
+        p_cam_all = G.se3_apply(arena.kf_R[own], arena.kf_t[own], lm_pos)
+        S_new_inv = G.sim3_inverse(s_o[own], R_o[own], t_o[own])
+        lm_pos_final = jnp.where(
+            arena.lm_valid[:, None],
+            G.sim3_apply(*S_new_inv, p_cam_all), lm_pos)
+        kf_R_new = R_o
+        kf_t_new = t_o / jnp.maximum(s_o[:, None], 1e-12)
+        arena = arena._replace(
+            kf_R=jnp.where(arena.kf_valid[:, None, None], kf_R_new,
+                           arena.kf_R),
+            kf_t=jnp.where(arena.kf_valid[:, None], kf_t_new, arena.kf_t),
+            lm_pos=lm_pos_final)
+        return arena
+
+
+class LoopCloser:
+    """Host-side loop-closing state machine (consistency tracking + flow)."""
+
+    def __init__(self, cfg, cam, kernels, mapping):
+        self.cfg = cfg
+        self.cam = cam
+        self.k = LoopKernels(cfg, cam)
+        self.mapping = mapping
+        self.consistency_th = 3       # mnCovisibilityConsistencyTh (cpp:43)
+        self.consistent_groups: List[Tuple[Set[int], int]] = []
+        self.last_loop_kf = -1
+        self.loop_edges: List[Tuple[int, int]] = []
+
+    def reset(self):
+        self.consistent_groups = []
+        self.last_loop_kf = -1
+        self.loop_edges = []
+
+    def process(self, system, slot: int) -> bool:
+        """DetectLoop + ComputeSim3 + CorrectLoop for a new keyframe.
+        Returns True if a loop was closed."""
+        cfg = self.cfg
+        arena = system.arena
+        if system.n_kf < 10 or slot - self.last_loop_kf < 10:
+            return False
+        covis_np = np.asarray(SM.covisibility_matrix(arena))
+        neighbors = set(np.where(
+            covis_np[slot] >= cfg.covisibility_weight_th)[0].tolist())
+        exclude = np.zeros(arena.n_kf_cap, bool)
+        exclude[slot] = True
+        for n in neighbors:
+            exclude[n] = True
+        # minScore = min BoW score with covisible neighbors (cpp:118-133)
+        bow = system.bow_table
+        scores_nb = np.asarray(PL.bow_scores(bow[slot], bow))
+        min_score = min((scores_nb[n] for n in neighbors
+                         if np.asarray(arena.kf_valid)[n]), default=0.0)
+        cand_idx, cand_ok = PL.detect_candidates(
+            bow[slot], bow, arena.kf_valid, jnp.asarray(exclude),
+            jnp.asarray(covis_np), jnp.float32(min_score))
+        cand_idx = np.asarray(cand_idx)[np.asarray(cand_ok)]
+        if len(cand_idx) == 0:
+            self.consistent_groups = []
+            return False
+        # 3-consecutive-KF consistency (cpp:151-210)
+        enough = []
+        new_groups: List[Tuple[Set[int], int]] = []
+        for c in cand_idx:
+            group = set(np.where(covis_np[c] > 0)[0].tolist()) | {int(c)}
+            matched = False
+            for prev_set, streak in self.consistent_groups:
+                if group & prev_set:
+                    new_groups.append((group, streak + 1))
+                    if streak + 1 >= self.consistency_th:
+                        enough.append(int(c))
+                    matched = True
+                    break
+            if not matched:
+                new_groups.append((group, 0))
+        self.consistent_groups = new_groups
+        if not enough:
+            return False
+        # ComputeSim3 against consistent candidates (cpp:230-399)
+        for c in enough:
+            if self._try_close(system, slot, int(c)):
+                self.last_loop_kf = slot
+                self.consistent_groups = []
+                return True
+        return False
+
+    def _try_close(self, system, k_cur: int, k_loop: int) -> bool:
+        arena = system.arena
+        idx2, ok = self.k.match_kf_pair(arena, jnp.int32(k_cur),
+                                        jnp.int32(k_loop))
+        n_matches = int(jnp.sum(ok))
+        if n_matches < 20:
+            return False
+        p1, p2, uv1, uv2, s1, s2 = self.k.sim3_candidates(
+            arena, jnp.int32(k_cur), jnp.int32(k_loop), idx2, ok)
+        system.key, sub = jax.random.split(system.key)
+        res = sim3_ransac(self.cam, sub, p1, p2, uv1, uv2, s1, s2, ok,
+                          n_iters=self.cfg.sim3_ransac_iters,
+                          fix_scale=False, min_inliers=20)
+        if not bool(res.success):
+            return False
+        s, R, t, inl, n_inl = self.k.refine_sim3(
+            arena, jnp.int32(k_cur), jnp.int32(k_loop), idx2,
+            ok & res.inliers, res.s12, res.R12, res.t12)
+        if int(n_inl) < 20:
+            return False
+        # correct the loop
+        max_prev = 16
+        li = np.zeros(max_prev, np.int32)
+        lj = np.zeros(max_prev, np.int32)
+        lv = np.zeros(max_prev, bool)
+        for n, (a, b) in enumerate(self.loop_edges[:max_prev]):
+            li[n], lj[n], lv[n] = a, b, True
+        system.arena = self.k.propagate_and_pose_graph(
+            arena, jnp.int32(k_cur), jnp.int32(k_loop), s, R, t,
+            jnp.int32(self.cfg.covisibility_weight_th),
+            jnp.asarray(li), jnp.asarray(lj), jnp.asarray(lv))
+        self.loop_edges.append((k_cur, k_loop))
+        # fuse duplicated landmarks around the loop (SearchAndFuse analog)
+        system.arena = self.mapping.fuse_pair(system.arena,
+                                              jnp.int32(k_loop),
+                                              jnp.int32(k_cur))
+        system.arena = self.mapping.fuse_pair(system.arena,
+                                              jnp.int32(k_cur),
+                                              jnp.int32(k_loop))
+        system.arena = SM.update_landmark_stats(
+            system.arena, jnp.asarray(self.cfg.scale_factors, jnp.float32))
+        return True

@@ -61,17 +61,20 @@ class MappingKernels:
 
     @functools.partial(jax.jit, static_argnums=0)
     def cull_map_points(self, arena: SM.MapArena, current_kf_count):
-        """Recent landmarks must earn their keep: found/visible >= 0.25 and
-        >= 2 observations within 2 keyframes of creation."""
+        """Probation culling of RECENT landmarks only
+        (mlpRecentAddedMapPoints, LocalMapping.cpp:175-206): within ~3
+        keyframes of creation a landmark must keep found/visible >= 0.25 and
+        accumulate >= 2 observations; after that it leaves the probation
+        list and these tests never fire again (mature landmarks are removed
+        only by BA outlier cuts / fusion)."""
         cnt = SM.observation_counts(arena)
         ratio = arena.lm_found.astype(jnp.float32) / jnp.maximum(
             arena.lm_visible.astype(jnp.float32), 1.0)
         age = current_kf_count - 1 - arena.lm_first_kf  # in keyframes
-        bad = arena.lm_valid & (
+        probation = age <= 3
+        bad = arena.lm_valid & probation & (
             (ratio < self.cfg.mp_found_ratio_th)
             | ((age >= 2) & (cnt <= 2)))
-        # landmarks older than 3 KFs with >=3 obs leave the probation window
-        # implicitly (the age>=2 rule no longer fires once cnt grows).
         return arena._replace(lm_valid=arena.lm_valid & ~bad)
 
     # ------------------------------------------------------------------
@@ -107,6 +110,10 @@ class MappingKernels:
         ok &= cos_par < 0.9998
         # FOV cheirality both frames (cpp:306-318)
         d1 = jnp.linalg.norm(X1, axis=-1)
+        # scale-free depth sanity: at parallax >= ~1.15 deg a true point lies
+        # within ~50 baselines; anything beyond is a near-zero-parallax
+        # artifact whose reprojection happens to pass both gates
+        ok &= d1 <= 50.0 * jnp.linalg.norm(t21)
         ok &= X1[:, 2] / jnp.maximum(d1, 1e-12) > self.cam.cos_fov_th
         X2 = X1 @ R21.T + t21
         d2 = jnp.linalg.norm(X2, axis=-1)
@@ -134,7 +141,7 @@ class MappingKernels:
         # world coordinates
         R1, t1 = arena.kf_R[k_new], arena.kf_t[k_new]
         Xw = (X1 - t1) @ R1
-        return Xw, ok, res.idx
+        return Xw, ok, res.idx, cos_par
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def commit_new_landmarks(self, arena: SM.MapArena, k_new, k_nb,
@@ -271,6 +278,14 @@ class MappingKernels:
         all_valid = jnp.concatenate([local_valid, fix_valid])
         all_fixed = jnp.concatenate(
             [local_valid & (cam_idx == 0), jnp.ones_like(fix_valid)])
+        # gauge guard: if neither KF 0 nor any boundary anchor is in the
+        # problem (the whole map became "local"), fix the oldest local KF —
+        # otherwise the window is gauge-free and drifts against the rest of
+        # the map every BA call
+        has_fixed = jnp.any(all_fixed & all_valid)
+        oldest_pos = jnp.argmin(jnp.where(local_valid, cam_idx, K))
+        all_fixed = all_fixed.at[oldest_pos].set(
+            all_fixed[oldest_pos] | ~has_fixed)
         # gather edges from the 2C keyframe rows
         sub_obs = arena.kf_obs_lm[all_idx]                 # (2C,N)
         sub_ok = ((sub_obs >= 0) & arena.kf_kp_valid[all_idx]

@@ -26,8 +26,11 @@ from cubemapslam_tpu import warp as W
 from cubemapslam_tpu.camera import CubemapCamera
 from cubemapslam_tpu.config import SlamConfig
 from cubemapslam_tpu.features import build_extractor
+from cubemapslam_tpu import place as PL
 from cubemapslam_tpu.runtime.kernels import TrackingKernels
 from cubemapslam_tpu.runtime.mapping import MappingKernels
+from cubemapslam_tpu.runtime.loop_closing import LoopCloser
+from cubemapslam_tpu.solvers.pnp import pnp_ransac
 
 
 class TrackState(enum.Enum):
@@ -39,13 +42,22 @@ class TrackState(enum.Enum):
 
 @dataclasses.dataclass
 class FrameState:
-    """Host handle to the last processed frame's device arrays."""
+    """Host handle to the last processed frame's device arrays.
+
+    rel_R/rel_t store the pose RELATIVE to the reference keyframe at record
+    time, so the frame can be re-anchored after mapping/BA moves the
+    keyframes (Tracking::UpdateLastFrame semantics, Tracking.cpp:368-384 +
+    612-618 — without this, every local BA invalidates the motion model).
+    """
 
     kp: object = None
     assoc: object = None
     outlier: object = None
     R: object = None
     t: object = None
+    rel_R: object = None
+    rel_t: object = None
+    ref_kf: int = 0
     frame_id: int = -1
     timestamp: float = 0.0
 
@@ -65,17 +77,29 @@ class CubemapSLAM:
         image_hw = (cfg.cube_h, cfg.cube_w)
         self.extract, self.orb_params = build_extractor(
             cfg, self.cam, cfg.n_features, image_hw)
+        # init-mode extractor with 3x features (Tracking.cpp:96); its output
+        # is downselected to the arena feature width after bootstrap
+        self.extract_init, _ = build_extractor(
+            cfg, self.cam, cfg.n_features * cfg.init_features_factor,
+            image_hw)
         self.warp_map = None          # built lazily for fisheye input
         self.state = TrackState.NO_IMAGES_YET
         self.n_kf = 0                 # monotonically allocated KF slots
         self.key = jax.random.PRNGKey(seed)
         self.last = FrameState()
         self.init_ref = FrameState()  # initialization reference frame
+        self.init_prev_rays = None    # vbPrevMatched window centers
         self.velocity = None          # (R, t) relative motion model
         self.ref_kf = 0
         self.frame_id = 0
         self.last_kf_frame_id = 0
         self.localization_only = False
+        self.loop_closing_enabled = True
+        self.vocab = None             # trained on first map (ORBvoc analog)
+        self.bow_table = None         # (K, n_words) dense BoW rows
+        self.loop_closer = LoopCloser(cfg, self.cam, self.kernels,
+                                      self.mapping)
+        self.n_loops_closed = 0
         self.trajectory: List[Tuple[float, np.ndarray, np.ndarray]] = []
         self.tracked_frames = 0       # frame_counter analog (Tracking.cpp:46)
         self.total_frames = 0
@@ -100,13 +124,18 @@ class CubemapSLAM:
         """Track one cubemap-cross grayscale frame. Returns 4x4 Tcw or
         None when tracking is not yet established."""
         self.total_frames += 1
-        kp = self.extract(jnp.asarray(cube_img),
-                          None if mask is None else jnp.asarray(mask))
+        pre_init = self.state in (TrackState.NO_IMAGES_YET,
+                                  TrackState.NOT_INITIALIZED)
+        extract = self.extract_init if pre_init else self.extract
+        kp = extract(jnp.asarray(cube_img),
+                     None if mask is None else jnp.asarray(mask))
         fid = self.frame_id
         self.frame_id += 1
         if self.state in (TrackState.NO_IMAGES_YET,
                           TrackState.NOT_INITIALIZED):
             self._try_initialize(kp, fid, timestamp)
+        elif self.state == TrackState.LOST:
+            self._relocalize(kp, fid, timestamp)
         else:
             self._track_frame(kp, fid, timestamp)
         if self.state == TrackState.OK:
@@ -141,13 +170,15 @@ class CubemapSLAM:
             if self._enough_kp(kp):
                 self.init_ref = FrameState(kp=kp, frame_id=fid,
                                            timestamp=ts)
+                self.init_prev_rays = self.init_ref.kp.rays
                 self.state = TrackState.NOT_INITIALIZED
             return
         if not self._enough_kp(kp):
             self.init_ref = FrameState()
             return
-        m_idx, m_ok, n = self.kernels.match_for_initialization(
-            self.init_ref.kp, kp)
+        m_idx, m_ok, n, self.init_prev_rays = \
+            self.kernels.match_for_initialization(
+                self.init_ref.kp, kp, self.init_prev_rays)
         if int(n) < self.cfg.min_init_matches:
             self.init_ref = FrameState()  # retry with a new reference
             return
@@ -179,45 +210,94 @@ class CubemapSLAM:
         Xw = jnp.asarray(p3d * inv)
 
         ref = self.init_ref
-        no_assoc = jnp.full((kp.n,), SM.NO_LM, jnp.int32)
-        no_out = jnp.zeros(kp.n, bool)
+        N = self.cfg.n_features
+        # downselect the 3x init keypoint sets to the arena width, keeping
+        # triangulated/matched features first (then by response)
+        good_j = jnp.asarray(res.good)
+        ref_prio = good_j.astype(jnp.float32) * 1e9 + ref.kp.response
+        cur_prio = (jnp.zeros(kp.n).at[m_idx].max(
+            good_j.astype(jnp.float32) * 1e9) + kp.response)
+        ref_red, sel_ref = self.kernels.downselect_keypoints(
+            ref.kp, ref_prio, N)
+        cur_red, sel_cur = self.kernels.downselect_keypoints(
+            kp, cur_prio, N)
+        inv_cur = jnp.full((kp.n,), -1, jnp.int32).at[sel_cur].set(
+            jnp.arange(N, dtype=jnp.int32))
+        Xw_red = Xw[sel_ref]
+        good_red = good_j[sel_ref]
+        idx2_red = inv_cur[m_idx[sel_ref]]
+        good_red &= idx2_red >= 0
+
+        no_assoc = jnp.full((N,), SM.NO_LM, jnp.int32)
+        no_out = jnp.zeros(N, bool)
         self.arena = self.kernels.insert_keyframe(
-            self.arena, 0, ref.kp, no_assoc, no_out, R0, t0,
+            self.arena, 0, ref_red, no_assoc, no_out, R0, t0,
             ref.frame_id, ref.timestamp)
         self.arena = self.kernels.insert_keyframe(
-            self.arena, 1, kp, no_assoc, no_out, R1, t1, fid, ts)
+            self.arena, 1, cur_red, no_assoc, no_out, R1, t1, fid, ts)
         self.n_kf = 2
-        # landmarks: per-ref-feature candidates matched to current feature
+        kp = cur_red  # the tracked frame continues with the reduced set
         self.arena, n_new = self.mapping.commit_new_landmarks(
-            self.arena, 0, 1, Xw, res.good, m_idx, 0, ref.frame_id)
+            self.arena, 0, 1, Xw_red, good_red, jnp.maximum(idx2_red, 0),
+            0, ref.frame_id)
         self.arena = SM.update_landmark_stats(
             self.arena, self.kernels.scale_factors)
         # small global BA (GlobalBundleAdjustemnt(20), Tracking.cpp:513)
         self.arena = self.mapping.local_ba(self.arena, 1, self.ba_cams)
         # current frame assoc = landmarks now attached to KF1 features
         assoc = self.arena.kf_obs_lm[1]
-        self.last = FrameState(kp=kp, assoc=assoc,
-                               outlier=jnp.zeros(kp.n, bool),
-                               R=self.arena.kf_R[1], t=self.arena.kf_t[1],
-                               frame_id=fid, timestamp=ts)
         self.ref_kf = 1
+        self._record_frame(kp, assoc, jnp.zeros(kp.n, bool),
+                           self.arena.kf_R[1], self.arena.kf_t[1], fid, ts)
         self.last_kf_frame_id = fid
         self.velocity = None
         self.state = TrackState.OK
+        # train the vocabulary on the bootstrap descriptors (the reference
+        # loads a pretrained ORBvoc.txt; ours is domain-trained on the fly)
+        if self.vocab is None:
+            desc = np.concatenate([
+                np.asarray(ref_red.desc)[np.asarray(ref_red.valid)],
+                np.asarray(kp.desc)[np.asarray(kp.valid)]])
+            self.vocab = PL.train_vocabulary(desc, k=8, depth=3)
+        self.bow_table = jnp.zeros((self.cfg.max_keyframes,
+                                    self.vocab.n_words))
+        self._update_bow(0, ref_red)
+        self._update_bow(1, kp)
         self.init_ref = FrameState()
 
     # ------------------------------------------------------------------
     # Per-frame tracking (Track, Tracking.cpp:155-389)
     # ------------------------------------------------------------------
 
+    def _record_frame(self, kp, assoc, outlier, R, t, fid, ts):
+        """Store the frame state with its ref-KF-relative pose."""
+        R_ref = self.arena.kf_R[self.ref_kf]
+        t_ref = self.arena.kf_t[self.ref_kf]
+        Ri, ti = G.se3_inverse(R_ref, t_ref)
+        rel_R, rel_t = G.se3_compose(R, t, Ri, ti)
+        self.last = FrameState(kp=kp, assoc=assoc, outlier=outlier,
+                               R=R, t=t, rel_R=rel_R, rel_t=rel_t,
+                               ref_kf=self.ref_kf, frame_id=fid,
+                               timestamp=ts)
+
+    def _last_pose(self):
+        """Last frame pose re-anchored to the CURRENT ref-KF pose
+        (UpdateLastFrame: absorbs whatever BA did to the keyframes)."""
+        if self.last.rel_R is None:
+            return self.last.R, self.last.t
+        R_ref = self.arena.kf_R[self.last.ref_kf]
+        t_ref = self.arena.kf_t[self.last.ref_kf]
+        return G.se3_compose(self.last.rel_R, self.last.rel_t, R_ref, t_ref)
+
     def _track_frame(self, kp, fid, ts):
         k = self.kernels
+        R_last, t_last = self._last_pose()
         # pose prediction by the motion model (Tracking.cpp:626-631)
         if self.velocity is not None:
             Rv, tv = self.velocity
-            R_pred, t_pred = G.se3_compose(Rv, tv, self.last.R, self.last.t)
+            R_pred, t_pred = G.se3_compose(Rv, tv, R_last, t_last)
         else:
-            R_pred, t_pred = self.last.R, self.last.t
+            R_pred, t_pred = R_last, t_last
 
         assoc, n = k.track_last_frame(
             self.arena, kp, self.last.assoc, self.last.outlier,
@@ -229,7 +309,7 @@ class CubemapSLAM:
         if int(n) < 20:  # fall back to reference KF (Tracking.cpp:191-200)
             assoc, n = k.track_reference_kf(self.arena, kp,
                                             jnp.int32(self.ref_kf))
-            R_pred, t_pred = self.last.R, self.last.t
+            R_pred, t_pred = R_last, t_last
         if int(n) < 15:
             self._set_lost(kp, fid, ts)
             return
@@ -255,10 +335,9 @@ class CubemapSLAM:
             return
 
         # motion model update (Tracking.cpp:307-316)
-        R_last_inv, t_last_inv = G.se3_inverse(self.last.R, self.last.t)
+        R_last_inv, t_last_inv = G.se3_inverse(R_last, t_last)
         self.velocity = G.se3_compose(R, t, R_last_inv, t_last_inv)
-        self.last = FrameState(kp=kp, assoc=assoc, outlier=outlier,
-                               R=R, t=t, frame_id=fid, timestamp=ts)
+        self._record_frame(kp, assoc, outlier, R, t, fid, ts)
         self.metrics.append({"frame": fid, "inliers": n_final_i,
                              "matches": int(n)})
 
@@ -284,6 +363,61 @@ class CubemapSLAM:
         self.init_ref = FrameState()
         self.velocity = None
         self.ref_kf = 0
+        self.bow_table = None
+        self.loop_closer.reset()
+
+    def _update_bow(self, slot: int, kp):
+        if self.vocab is None:
+            return
+        row = PL.bow_vector(self.vocab, kp.desc, kp.valid)
+        self.bow_table = self.bow_table.at[slot].set(row)
+
+    # ------------------------------------------------------------------
+    # Relocalization (Tracking::Relocalization, Tracking.cpp:990-1151)
+    # ------------------------------------------------------------------
+
+    def _relocalize(self, kp, fid, ts) -> bool:
+        if self.vocab is None or self.bow_table is None:
+            return False
+        k = self.kernels
+        qbow = PL.bow_vector(self.vocab, kp.desc, kp.valid)
+        covis = SM.covisibility_matrix(self.arena)
+        cand_idx, cand_ok = PL.detect_candidates(
+            qbow, self.bow_table, self.arena.kf_valid,
+            jnp.zeros(self.arena.n_kf_cap, bool), covis, jnp.float32(0.0))
+        cands = np.asarray(cand_idx)[np.asarray(cand_ok)]
+        lvl_sig2 = jnp.asarray(self.cfg.level_sigma2, jnp.float32)
+        for c in cands[:5]:
+            assoc, n = k.track_reference_kf(self.arena, kp, jnp.int32(c))
+            if int(n) < 15:
+                continue
+            has = assoc >= 0
+            pw = self.arena.lm_pos[jnp.maximum(assoc, 0)]
+            sig2 = lvl_sig2[jnp.clip(kp.level, 0, self.cfg.n_levels - 1)]
+            self.key, sub = jax.random.split(self.key)
+            res = pnp_ransac(self.cam, sub, pw, kp.rays, kp.uv, sig2,
+                             has & kp.valid,
+                             n_iters=self.cfg.pnp_ransac_iters)
+            if not bool(res.success):
+                continue
+            R, t, outlier, n2 = k.optimize_pose(self.arena, kp, assoc,
+                                                res.R, res.t)
+            if int(n2) < 10:
+                continue
+            assoc2 = jnp.where(outlier, SM.NO_LM, assoc)
+            sel, sel_ok, _ = k.select_local_landmarks(self.arena, assoc2)
+            assoc2, vis_add = k.search_local_points(self.arena, kp, assoc2,
+                                                    sel, sel_ok, R, t)
+            R, t, outlier, n3 = k.optimize_pose(self.arena, kp, assoc2,
+                                                R, t)
+            if int(n3) < self.cfg.min_track_inliers_after_reloc:
+                continue
+            self.ref_kf = int(c)
+            self._record_frame(kp, assoc2, outlier, R, t, fid, ts)
+            self.velocity = None
+            self.state = TrackState.OK
+            return True
+        return False
 
     # ------------------------------------------------------------------
     # Keyframe decision + creation (Tracking.cpp:721-792)
@@ -309,7 +443,15 @@ class CubemapSLAM:
         self.n_kf += 1
         self.ref_kf = slot
         self.last_kf_frame_id = fid
+        self._update_bow(slot, kp)
+        # the frame that spawned this KF is re-anchored to it exactly
+        self.last.ref_kf = slot
+        self.last.rel_R = jnp.eye(3)
+        self.last.rel_t = jnp.zeros(3)
         self._local_mapping(slot)
+        if self.loop_closing_enabled:
+            if self.loop_closer.process(self, slot):
+                self.n_loops_closed += 1
 
     # ------------------------------------------------------------------
     # Local mapping pipeline (LocalMapping::Run body per KF)
@@ -324,12 +466,24 @@ class CubemapSLAM:
         order = np.argsort(-covis)
         neighbors = [int(i) for i in order[:n_triangulate_neighbors]
                      if covis[i] > 0 and i != slot]
+        # evaluate all neighbors, then keep the widest-parallax candidate
+        # per feature: committing nearest-neighbor first (the covisibility
+        # order) locks features to near-zero-baseline triangulations and
+        # blocks better ones (the free-keypoint gate)
+        cands = []
         for nb in neighbors:
-            # baseline / median-depth ratio gate (cpp:240-247)
-            Xw, ok, idx2 = m.triangulate_with_neighbor(self.arena, slot, nb)
-            self.arena, n_new = m.commit_new_landmarks(
-                self.arena, slot, nb, Xw, ok, idx2, self.n_kf - 1,
-                int(self.arena.kf_frame_id[slot]))
+            Xw, ok, idx2, cos_par = m.triangulate_with_neighbor(
+                self.arena, slot, nb)
+            cands.append((nb, Xw, ok, idx2,
+                          jnp.where(ok, cos_par, 2.0)))
+        if cands:
+            all_cos = jnp.stack([c[4] for c in cands])      # (Nn, N)
+            winner = jnp.argmin(all_cos, axis=0)            # widest parallax
+            for i, (nb, Xw, ok, idx2, _) in enumerate(cands):
+                ok_i = ok & (winner == i)
+                self.arena, n_new = m.commit_new_landmarks(
+                    self.arena, slot, nb, Xw, ok_i, idx2, self.n_kf - 1,
+                    int(self.arena.kf_frame_id[slot]))
         for nb in neighbors[:4]:
             self.arena = m.fuse_pair(self.arena, slot, nb)
             self.arena = m.fuse_pair(self.arena, nb, slot)
@@ -337,6 +491,9 @@ class CubemapSLAM:
                                               self.kernels.scale_factors)
         if self.n_kf > 2:
             self.arena = m.local_ba(self.arena, slot, self.ba_cams)
+            # refresh normals/depth bands for the adjusted geometry
+            self.arena = SM.update_landmark_stats(
+                self.arena, self.kernels.scale_factors)
         self.arena, n_culled = m.cull_keyframes(self.arena, slot)
 
     # ------------------------------------------------------------------

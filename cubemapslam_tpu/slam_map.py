@@ -164,10 +164,18 @@ def update_landmark_stats(arena: MapArena,
     nn = jnp.linalg.norm(normal, axis=-1, keepdims=True)
     normal = normal / jnp.maximum(nn, 1e-12)
 
-    # depth band from the REFERENCE (first) keyframe's distance and level
+    # depth band from the reference keyframe's distance and level
     # (UpdateNormalAndDepth cpp:360-371): maxDist = dist*scale^level,
-    # minDist = maxDist / scale^(nLevels-1)
-    ref_kf = jnp.clip(arena.lm_first_kf, 0, K - 1)
+    # minDist = maxDist / scale^(nLevels-1). The reference KF is the first
+    # keyframe that STILL observes the landmark — the reference reassigns
+    # mpRefKF when the creating KF is erased (MapPoint.cpp:118-135);
+    # freezing it on the creator leaves stale bands once that KF is culled
+    # or its observation removed by BA.
+    ref_kf_raw = jnp.full(L + 1, K, jnp.int32).at[seg].min(
+        jnp.where(live, kf_idx, K))
+    has_ref = ref_kf_raw[:-1] < K
+    ref_kf = jnp.where(has_ref, ref_kf_raw[:-1],
+                       jnp.clip(arena.lm_first_kf, 0, K - 1))
     d_ref = jnp.linalg.norm(
         arena.lm_pos - Ow[ref_kf], axis=-1)
     lev = arena.kf_level.reshape(-1)

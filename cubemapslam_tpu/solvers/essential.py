@@ -163,8 +163,11 @@ def reconstruct_e(cam: CubemapCamera, E: jnp.ndarray,
                   rays1, rays2, uv1, uv2, inliers,
                   sigma2: float = 1.0,
                   min_parallax: float = 1.0,
-                  min_triangulated: int = 50) -> TwoViewResult:
-    """Disambiguate the 4 (R,t) hypotheses (ReconstructE cpp:279-377)."""
+                  min_triangulated: int = 50,
+                  good_ratio: float = 0.9) -> TwoViewResult:
+    """Disambiguate the 4 (R,t) hypotheses (ReconstructE cpp:279-377).
+    good_ratio is the fraction of epipolar inliers that must survive the
+    cheirality/reprojection gates (0.9 in the reference, cpp:311)."""
     R1, R2, t = decompose_e(E)
     th2 = 4.0 * sigma2
 
@@ -175,8 +178,8 @@ def reconstruct_e(cam: CubemapCamera, E: jnp.ndarray,
                                 inliers, th2))(Rs, ts)
     max_good = jnp.max(n_good)
     n_inl = jnp.sum(inliers.astype(jnp.int32))
-    n_min_good = jnp.maximum((0.9 * n_inl).astype(jnp.int32),
-                             min_triangulated)
+    n_min_good = jnp.maximum((good_ratio * n_inl).astype(jnp.int32),
+                             jnp.int32(min_triangulated))
     n_similar = jnp.sum((n_good > 0.7 * max_good).astype(jnp.int32))
     best = jnp.argmax(n_good)
     ok = ((max_good >= n_min_good) & (n_similar == 1)
@@ -190,7 +193,8 @@ def initialize_two_view(cam: CubemapCamera, key: jax.Array,
                         rays1, rays2, uv1, uv2, valid,
                         n_iters: int = 200, sigma: float = 1.0,
                         min_parallax: float = 1.0,
-                        min_triangulated: int = 50) -> TwoViewResult:
+                        min_triangulated: int = 50,
+                        good_ratio: float = 0.9) -> TwoViewResult:
     """Full two-view bootstrap (InitializeWithRays, Initializer.cpp:53-116).
 
     All arrays are per-*match* (aligned pairs), fixed length with validity.
@@ -198,4 +202,5 @@ def initialize_two_view(cam: CubemapCamera, key: jax.Array,
     E, inl, _ = find_essential(cam, key, rays1, rays2, uv1, uv2, valid,
                                n_iters, sigma)
     return reconstruct_e(cam, E, rays1, rays2, uv1, uv2, inl,
-                         sigma * sigma, min_parallax, min_triangulated)
+                         sigma * sigma, min_parallax, min_triangulated,
+                         good_ratio)

@@ -23,48 +23,100 @@ PATCH = 14  # texture patch side length
 
 
 def make_world(rng, n=500, r_lo=2.5, r_hi=6.0):
-    """Random 3D points on a shell around the trajectory, each carrying a
-    unique random texture patch (unique descriptors — uniform squares are
-    4-fold symmetric after orientation steering and fail the ratio test)."""
+    """Random 3D billboards on a shell around the trajectory: each world
+    point carries a unique texture on a small world-anchored plane, so every
+    rendered corner is a TRUE 3D point (stamping fixed-pixel patches makes
+    corner positions view-dependent — the pinhole angular scale varies
+    across a cube face — which injects motion-correlated bias)."""
     d = rng.normal(size=(n, 3))
     d /= np.linalg.norm(d, axis=1, keepdims=True)
     r = rng.uniform(r_lo, r_hi, (n, 1))
-    pts = d * r
-    # low-frequency texture (white noise is hypersensitive to resampling
-    # phase): random at half resolution, bilinearly upsampled
+    pts = (d * r).astype(np.float32)
+    # low-frequency unique texture per billboard
     half = rng.uniform(30, 255, (n, PATCH // 2, PATCH // 2)).astype(
         np.float32)
     patches = np.repeat(np.repeat(half, 2, axis=1), 2, axis=2)
     patches = (patches
                + np.roll(patches, 1, 1) + np.roll(patches, -1, 1)
                + np.roll(patches, 1, 2) + np.roll(patches, -1, 2)) / 5.0
-    return pts.astype(np.float32), patches
+    # world tangent frames + world size (~PATCH px at the initial distance
+    # for a fx=80 face)
+    nrm = d.astype(np.float32)
+    a = np.where(np.abs(nrm[:, 2:3]) < 0.9, np.array([[0, 0, 1.0]]),
+                 np.array([[1.0, 0, 0]])).astype(np.float32)
+    e1 = np.cross(nrm, a)
+    e1 /= np.linalg.norm(e1, axis=1, keepdims=True)
+    e2 = np.cross(nrm, e1)
+    size = (PATCH / 80.0) * r[:, 0]
+    return pts, {"tex": patches, "n": nrm, "e1": e1.astype(np.float32),
+                 "e2": e2.astype(np.float32),
+                 "size": size.astype(np.float32)}
 
 
 def render(cam, cfg, pts, patches, R, t):
-    """Project world points and stamp their texture patches with sub-pixel
-    bilinear placement."""
+    """Ray-trace the billboards into the cubemap cross."""
     H, W = cfg.cube_h, cfg.cube_w
     img = np.full((H, W), 20.0, np.float32)
     pc = (R @ pts.T).T + t
     uv, face = C.ray_to_cubemap(cam, jnp.asarray(pc, jnp.float32))
     uv = np.asarray(uv)
     face = np.asarray(face)
-    s = PATCH
+    fx = float(cam.fxycxy[0])
+    tex = patches["tex"]
+    # rotate billboard frames into the camera frame
+    n_c = (R @ patches["n"].T).T
+    e1_c = (R @ patches["e1"].T).T
+    e2_c = (R @ patches["e2"].T).T
+    sizes = patches["size"]
+    # precompute per-pixel rays once per (cam geometry); cached on cam id
+    global _RAY_CACHE
+    try:
+        rays_img = _RAY_CACHE[(H, W)]
+    except (NameError, KeyError):
+        uu, vv = np.meshgrid(np.arange(W, dtype=np.float32),
+                             np.arange(H, dtype=np.float32))
+        r_, f_ = C.cubemap_to_ray(cam, jnp.stack(
+            [jnp.asarray(uu), jnp.asarray(vv)], axis=-1))
+        rays_img = np.asarray(r_)
+        try:
+            _RAY_CACHE[(H, W)] = rays_img
+        except NameError:
+            _RAY_CACHE = {(H, W): rays_img}
     for i in np.where(face >= 0)[0]:
-        u, v = float(uv[i, 0]), float(uv[i, 1])
-        x0, y0 = int(np.floor(u)), int(np.floor(v))
-        if not (2 <= x0 < W - s - 3 and 2 <= y0 < H - s - 3):
+        d_i = float(np.linalg.norm(pc[i]))
+        half_px = int(np.ceil(0.75 * sizes[i] / d_i * fx)) + 2
+        u0, v0 = int(round(uv[i, 0])), int(round(uv[i, 1]))
+        x0, x1 = u0 - half_px, u0 + half_px + 1
+        y0, y1 = v0 - half_px, v0 + half_px + 1
+        if x0 < 0 or y0 < 0 or x1 > W or y1 > H:
             continue
-        fu, fv = u - x0, v - y0
-        P = patches[i]
-        canvas = np.zeros((s + 1, s + 1), np.float32)
-        canvas[:s, :s] += P * (1 - fu) * (1 - fv)
-        canvas[:s, 1:] += P * fu * (1 - fv)
-        canvas[1:, :s] += P * (1 - fu) * fv
-        canvas[1:, 1:] += P * fu * fv
-        img[y0:y0 + s + 1, x0:x0 + s + 1] = np.maximum(
-            img[y0:y0 + s + 1, x0:x0 + s + 1], canvas)
+        rays = rays_img[y0:y1, x0:x1]                  # (h,w,3)
+        # intersect ray with the billboard plane (P, n)
+        denom = rays @ n_c[i]
+        denom_safe = np.where(np.abs(denom) > 1e-6, denom, 1e-6)
+        lam = (pc[i] @ n_c[i]) / denom_safe
+        X = rays * lam[..., None]                      # (h,w,3)
+        rel = X - pc[i]
+        tu = (rel @ e1_c[i]) / sizes[i] + 0.5
+        tv = (rel @ e2_c[i]) / sizes[i] + 0.5
+        inside = ((lam > 0) & (denom > 1e-6)
+                  & (tu >= 0) & (tu < 1) & (tv >= 0) & (tv < 1))
+        # bilinear texture sample
+        px = np.clip(tu * (PATCH - 1), 0, PATCH - 1.001)
+        py = np.clip(tv * (PATCH - 1), 0, PATCH - 1.001)
+        xi = px.astype(np.int32)
+        yi = py.astype(np.int32)
+        fxp = px - xi
+        fyp = py - yi
+        T = tex[i]
+        val = (T[yi, xi] * (1 - fxp) * (1 - fyp)
+               + T[yi, np.minimum(xi + 1, PATCH - 1)] * fxp * (1 - fyp)
+               + T[np.minimum(yi + 1, PATCH - 1), xi] * (1 - fxp) * fyp
+               + T[np.minimum(yi + 1, PATCH - 1),
+                   np.minimum(xi + 1, PATCH - 1)] * fxp * fyp)
+        region = img[y0:y1, x0:x1]
+        img[y0:y1, x0:x1] = np.where(inside, np.maximum(region, val),
+                                     region)
     return img
 
 
