@@ -324,4 +324,23 @@ class LoopCloser:
                                               jnp.int32(k_loop))
         system.arena = SM.update_landmark_stats(
             system.arena, jnp.asarray(self.cfg.scale_factors, jnp.float32))
+        # full-map BA after the pose-graph correction (the reference spawns
+        # a transient GBA thread, LoopClosing.cpp:578 +
+        # RunGlobalBundleAdjustment cpp:644-748; here it is an explicit
+        # jitted call on the arena-wide problem)
+        self._global_ba(system)
         return True
+
+    def _global_ba(self, system):
+        from cubemapslam_tpu.dist import global_ba_problem_from_arena
+        from cubemapslam_tpu.optim.ba import bundle_adjust
+        inv_s2 = 1.0 / jnp.asarray(self.cfg.level_sigma2, jnp.float32)
+        prob = global_ba_problem_from_arena(self.cam, system.arena, inv_s2)
+        out, inl = bundle_adjust(self.cam, prob, phase_iters=(10,),
+                                 cg_iters=30)
+        kill = prob.obs_valid & ~inl
+        K, N = system.arena.n_kf_cap, system.arena.n_feat
+        obs = jnp.where(kill.reshape(K, N), SM.NO_LM,
+                        system.arena.kf_obs_lm)
+        system.arena = system.arena._replace(
+            kf_R=out.R, kf_t=out.t, lm_pos=out.X, kf_obs_lm=obs)

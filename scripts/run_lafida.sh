@@ -1,0 +1,15 @@
+#!/usr/bin/env bash
+# Lafida indoor/outdoor run (Scripts/runCubemapLafida.sh analog).
+# Usage: run_lafida.sh DATASET_DIR [OUT_DIR]
+set -euo pipefail
+DATA=${1:?dataset dir}
+OUT=${2:-out/lafida}
+mkdir -p "$OUT"
+python -m cubemapslam_tpu.apps.run_lafida \
+    none \
+    "${CONFIG:-Config/lafida_cam0_params.yaml}" \
+    "$DATA/images" \
+    "$DATA/image_list.txt" \
+    "${MASK:-none}" \
+    "$OUT/keyframe_trajectory.txt" \
+    "$OUT/perf.txt"
