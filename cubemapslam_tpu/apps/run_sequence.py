@@ -100,9 +100,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     else:
         mask = W.fov_mask(slam.cam, cfg.cube_w, cfg.cube_h)
 
+    from cubemapslam_tpu.native import make_loader
+    loader = make_loader([p for _, p in images],
+                         n_workers=int(os.environ.get("DL_WORKERS", "4")))
     times = []
-    for i, (ts, path) in enumerate(images):
-        img = load_gray(path)
+    for i, (idx, img) in enumerate(loader):
+        ts = images[idx][0]
+        if img is None:
+            img = load_gray(images[idx][1])
         t0 = time.perf_counter()
         slam.track_fisheye(img, ts, mask=mask)
         dt = time.perf_counter() - t0
