@@ -93,41 +93,56 @@ def plan_levels(n_features: int, n_levels: int, scale_factor: float,
 # FAST corner response
 # ---------------------------------------------------------------------------
 
-def _fast_maps(img: jnp.ndarray, th: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """FAST-9/16 corner mask + ranking score for one threshold.
+def _run9(bits: jnp.ndarray) -> jnp.ndarray:
+    """Any run of >=9 consecutive set bits in a circular 16-bit mask."""
+    x = bits | (bits << np.uint32(16))
+    r = x & (x >> np.uint32(1))
+    r = r & (r >> np.uint32(2))
+    r = r & (r >> np.uint32(4))
+    r = r & (x >> np.uint32(8))         # 9 consecutive set bits
+    return (r & np.uint32(0xFFFF)) != 0
 
-    Segment test via bit packing: 16 brighter/darker comparisons packed into a
-    uint32, duplicated to handle wrap-around, run-of-9 detected with 4 shifted
-    ANDs. Score is the thresholded absolute-difference sum (ranking proxy for
-    OpenCV's FAST score; only relative order matters for NMS).
+
+def _fast_maps_dual(img: jnp.ndarray, th_hi: int, th_lo: int):
+    """FAST-9/16 corner masks + ranking score for TWO thresholds in one pass
+    over the 16-neighbor stencil (the per-cell ini/min fallback needs both;
+    computing them separately doubles the HBM traffic).
+
+    Segment test via bit packing: 16 brighter/darker comparisons packed into
+    a uint32, duplicated to handle wrap-around, run-of-9 detected with 4
+    shifted ANDs. Score is the thresholded absolute-difference sum at the
+    LOW threshold (ranking proxy for OpenCV's FAST score; only relative
+    order matters for NMS).
     """
     center = img
-    th_f = jnp.float32(th)
-    bright_bits = jnp.zeros(img.shape, jnp.uint32)
-    dark_bits = jnp.zeros(img.shape, jnp.uint32)
+    hi = jnp.float32(th_hi)
+    lo = jnp.float32(th_lo)
+    bb_hi = jnp.zeros(img.shape, jnp.uint32)
+    db_hi = jnp.zeros(img.shape, jnp.uint32)
+    bb_lo = jnp.zeros(img.shape, jnp.uint32)
+    db_lo = jnp.zeros(img.shape, jnp.uint32)
     score_b = jnp.zeros(img.shape, jnp.float32)
     score_d = jnp.zeros(img.shape, jnp.float32)
     for i, (dx, dy) in enumerate(_CIRCLE):
         neigh = jnp.roll(img, shift=(-int(dy), -int(dx)), axis=(0, 1))
         d = neigh - center
-        bright_bits = bright_bits | (
-            (d > th_f).astype(jnp.uint32) << np.uint32(i))
-        dark_bits = dark_bits | (
-            (d < -th_f).astype(jnp.uint32) << np.uint32(i))
-        score_b = score_b + jnp.maximum(d - th_f, 0.0)
-        score_d = score_d + jnp.maximum(-d - th_f, 0.0)
-
-    def run9(bits):
-        x = bits | (bits << np.uint32(16))
-        r = x & (x >> np.uint32(1))
-        r = r & (r >> np.uint32(2))
-        r = r & (r >> np.uint32(4))
-        r = r & (x >> np.uint32(8))     # 9 consecutive set bits
-        return (r & np.uint32(0xFFFF)) != 0
-
-    is_corner = run9(bright_bits) | run9(dark_bits)
+        sh = np.uint32(i)
+        bb_hi |= (d > hi).astype(jnp.uint32) << sh
+        db_hi |= (d < -hi).astype(jnp.uint32) << sh
+        bb_lo |= (d > lo).astype(jnp.uint32) << sh
+        db_lo |= (d < -lo).astype(jnp.uint32) << sh
+        score_b = score_b + jnp.maximum(d - lo, 0.0)
+        score_d = score_d + jnp.maximum(-d - lo, 0.0)
+    corner_hi = _run9(bb_hi) | _run9(db_hi)
+    corner_lo = _run9(bb_lo) | _run9(db_lo)
     score = jnp.maximum(score_b, score_d)
-    return is_corner, score
+    return corner_hi, corner_lo, score
+
+
+def _fast_maps(img: jnp.ndarray, th: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-threshold FAST (kept for unit tests)."""
+    hi, lo, score = _fast_maps_dual(img, th, th)
+    return hi, score
 
 
 def _fast_adaptive(img: jnp.ndarray, ini_th: int, min_th: int,
@@ -135,8 +150,7 @@ def _fast_adaptive(img: jnp.ndarray, ini_th: int, min_th: int,
     """Response map with the reference's per-cell threshold fallback
     (ORBExtractor.cpp:739-803): use iniTh; where a cell has no iniTh corner,
     fall back to minTh. Non-corners get response 0."""
-    strong_c, strong_s = _fast_maps(img, ini_th)
-    weak_c, weak_s = _fast_maps(img, min_th)
+    strong_c, weak_c, score = _fast_maps_dual(img, ini_th, min_th)
     H, W = img.shape
     Hc = -(-H // cell)
     Wc = -(-W // cell)
@@ -145,7 +159,6 @@ def _fast_adaptive(img: jnp.ndarray, ini_th: int, min_th: int,
     cell_any = sc.reshape(Hc, cell, Wc, cell).any(axis=(1, 3))
     cell_any_full = jnp.repeat(jnp.repeat(cell_any, cell, 0), cell, 1)[:H, :W]
     corner = jnp.where(cell_any_full, strong_c, weak_c)
-    score = jnp.where(cell_any_full, strong_s, weak_s)
     return jnp.where(corner, score, 0.0)
 
 
@@ -238,6 +251,47 @@ def _ic_angle(patches: jnp.ndarray) -> jnp.ndarray:
     return jnp.arctan2(m01, m10)
 
 
+def _moment_maps(img: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Whole-image intensity-centroid moment maps via two 31x31 convolutions
+    (MXU work) — per-keypoint moments are then single-pixel gathers instead
+    of 31x31 patch gathers, which are issue-rate-bound on TPU."""
+    wx, wy, _ = _circular_moment_weights()
+    k = np.stack([wx, wy])[:, None]                     # (2,1,31,31)
+    x = img[None, None]
+    # correlation = conv with flipped kernel; wx/wy are antisymmetric, so
+    # flip = negate
+    out = jax.lax.conv_general_dilated(
+        x, -jnp.asarray(k), (1, 1), [(ORI_R, ORI_R), (ORI_R, ORI_R)])
+    return out[0, 0], out[0, 1]                         # m10, m01 maps
+
+
+def _pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
+    """(N,256) {0,1} -> (N,8) uint32."""
+    bits = bits.reshape(-1, 8, 32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    return jnp.sum(bits * weights[None, None, :], axis=-1, dtype=jnp.uint32)
+
+
+def _descriptors_direct(blurred: jnp.ndarray, ys: jnp.ndarray,
+                        xs: jnp.ndarray, angles: jnp.ndarray) -> jnp.ndarray:
+    """Steered rBRIEF by direct sparse gathers from the blurred level image:
+    (K, 512) samples instead of (K, 37, 37) patch extraction + in-patch
+    lookup — ~3x fewer gather elements on the TPU's slow gather path."""
+    H, W = blurred.shape
+    pat = jnp.asarray(orb_pattern(), jnp.float32)       # (256, 4)
+    ca = jnp.cos(angles)[:, None]
+    sa = jnp.sin(angles)[:, None]
+    px = jnp.concatenate([pat[:, 0], pat[:, 2]])        # (512,)
+    py = jnp.concatenate([pat[:, 1], pat[:, 3]])
+    rx = jnp.round(px[None, :] * ca - py[None, :] * sa).astype(jnp.int32)
+    ry = jnp.round(px[None, :] * sa + py[None, :] * ca).astype(jnp.int32)
+    xi = jnp.clip(xs[:, None] + rx, 0, W - 1)
+    yi = jnp.clip(ys[:, None] + ry, 0, H - 1)
+    vals = jnp.take(blurred.reshape(-1), yi * W + xi)   # (K, 512)
+    t1, t2 = vals[:, :256], vals[:, 256:]
+    return _pack_bits((t1 < t2).astype(jnp.uint32))
+
+
 def _descriptors(blur_patches: jnp.ndarray, angles: jnp.ndarray
                  ) -> jnp.ndarray:
     """Rotated rBRIEF over 37x37 blurred patches -> (N, 8) uint32
@@ -309,11 +363,10 @@ def _extract_level(img: jnp.ndarray, k: int, cell: int, ini_th: int,
     ys_f = ys.astype(jnp.float32) + dy
     xs_f = xs.astype(jnp.float32) + dx
 
-    raw_patches = _gather_patches(img, ys, xs, ORI_R)
-    angles = _ic_angle(raw_patches)
+    m10, m01 = _moment_maps(img)
+    angles = jnp.arctan2(m01[ys, xs], m10[ys, xs])
     blurred = _blur(img)
-    blur_patches = _gather_patches(blurred, ys, xs, PATCH_R)
-    desc = _descriptors(blur_patches, angles)
+    desc = _descriptors_direct(blurred, ys, xs, angles)
     return ys_f, xs_f, resp, angles, desc
 
 
