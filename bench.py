@@ -5,6 +5,10 @@ frame, Examples/cubemap_lafida.cpp:145-168): fisheye->cubemap warp + ORB
 extraction + landmark projection matching + pose optimization, at the Lafida
 cam0 working configuration (650^2 faces, 2000 features, 8 levels).
 
+The warp runs on host threads via the native C++ plan (the reference's
+cv::remap architecture) overlapped with device compute; the device step is
+one jitted program (extract -> match -> pose optimization).
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is against the 30 frames/s camera rate the reference targets
 ("real-time", README.md:53) — the repo records no concrete C++ number
@@ -37,8 +41,7 @@ def main():
     wm = W.build_warp_map(cam, cfg.cube_w, cfg.cube_h)
 
     @jax.jit
-    def frame_step(fisheye, lm_pos, lm_desc, lm_level, lm_valid, R0, t0):
-        cube = W.warp_bilinear(fisheye, wm)
+    def frame_step(cube, lm_pos, lm_desc, lm_level, lm_valid, R0, t0):
         kp = extract_orb(params, cam, cube,
                          ini_th=cfg.ini_th_fast, min_th=cfg.min_th_fast)
         Xc = G.se3_apply(R0, t0, lm_pos)
@@ -56,10 +59,11 @@ def main():
                                          uv_face, inv_s2, has)
         return R, t, n
 
+    from cubemapslam_tpu.native import NativeWarp
     rng = np.random.default_rng(0)
-    fisheye = jnp.asarray(
-        rng.uniform(0, 255, (cfg.fisheye_height, cfg.fisheye_width)),
-        jnp.float32)
+    fisheye = rng.uniform(
+        0, 255, (cfg.fisheye_height, cfg.fisheye_width)).astype(np.float32)
+    native_warp = NativeWarp(wm, n_threads=6)
     n_lm = 8192
     d = rng.normal(size=(n_lm, 3))
     d /= np.linalg.norm(d, axis=1, keepdims=True)
@@ -70,17 +74,24 @@ def main():
     lm_valid = jnp.ones(n_lm, bool)
     R0 = jnp.eye(3)
     t0 = jnp.zeros(3)
-    args = (fisheye, lm_pos, lm_desc, lm_level, lm_valid, R0, t0)
 
     # warmup / compile
-    out = frame_step(*args)
+    cube = jnp.asarray(native_warp(fisheye))
+    out = frame_step(cube, lm_pos, lm_desc, lm_level, lm_valid, R0, t0)
     jax.block_until_ready(out)
 
+    # steady state: host warps frame k+1 while the device runs frame k
+    from concurrent.futures import ThreadPoolExecutor
     n_iters = 20
+    pool = ThreadPoolExecutor(1)
     t_start = time.perf_counter()
+    fut = pool.submit(native_warp, fisheye)
     for _ in range(n_iters):
-        out = frame_step(*args)
-    jax.block_until_ready(out)
+        cube_np = fut.result()
+        fut = pool.submit(native_warp, fisheye)
+        out = frame_step(jnp.asarray(cube_np), lm_pos, lm_desc, lm_level,
+                         lm_valid, R0, t0)
+        jax.block_until_ready(out)
     dt = (time.perf_counter() - t_start) / n_iters
     fps = 1.0 / dt
 

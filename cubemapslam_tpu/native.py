@@ -61,6 +61,16 @@ def _load_lib():
                             ctypes.POINTER(ctypes.c_float)]
     lib.dl_destroy.restype = None
     lib.dl_destroy.argtypes = [ctypes.c_void_p]
+    lib.wp_create.restype = ctypes.c_void_p
+    lib.wp_create.argtypes = [ctypes.POINTER(ctypes.c_int32),
+                              ctypes.POINTER(ctypes.c_float),
+                              ctypes.c_int, ctypes.c_int]
+    lib.wp_apply.restype = None
+    lib.wp_apply.argtypes = [ctypes.c_void_p,
+                             ctypes.POINTER(ctypes.c_float),
+                             ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+    lib.wp_destroy.restype = None
+    lib.wp_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -148,3 +158,47 @@ def make_loader(paths: List[str], n_workers: int = 4, queue_cap: int = 8):
         return NativeImageLoader(paths, n_workers, queue_cap)
     except (RuntimeError, OSError):
         return FallbackImageLoader(paths)
+
+
+class NativeWarp:
+    """Host-side fisheye->cubemap warp over the precomputed bilinear plan
+    (the reference's cv::remap architecture; overlappable with device
+    compute). Built from a warp.WarpMap."""
+
+    def __init__(self, warp_map, n_threads: int = 4):
+        lib = _load_lib()
+        if lib is None:
+            raise RuntimeError("native warp unavailable")
+        self._lib = lib
+        idx = np.ascontiguousarray(np.asarray(warp_map.idx00,
+                                              np.int32).reshape(-1))
+        w = np.ascontiguousarray(np.asarray(warp_map.w,
+                                            np.float32).reshape(-1))
+        self._shape = tuple(np.asarray(warp_map.idx00).shape)
+        self._src_w = int(np.asarray(warp_map.src_wh)[0])
+        self._n_threads = n_threads
+        self._plan = lib.wp_create(
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            w.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            idx.size, self._src_w)
+
+    def __call__(self, fisheye: np.ndarray) -> np.ndarray:
+        src = np.ascontiguousarray(fisheye, np.float32)
+        out = np.empty(self._shape, np.float32)
+        self._lib.wp_apply(
+            self._plan,
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self._n_threads)
+        return out
+
+    def close(self):
+        if self._plan is not None:
+            self._lib.wp_destroy(self._plan)
+            self._plan = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

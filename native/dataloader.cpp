@@ -19,6 +19,7 @@
 #include <map>
 #include <mutex>
 #include <string>
+#include <algorithm>
 #include <thread>
 #include <vector>
 
@@ -209,6 +210,64 @@ void* dl_create(const char** paths, int n, int n_workers, int queue_cap) {
     ld->workers.emplace_back([ld] { ld->worker(); });
   return ld;
 }
+
+// ---------------------------------------------------------------------------
+// Fisheye->cubemap warp on the host (the reference's architecture: cv::remap
+// on CPU, cubemap_lafida.cpp:143). The precomputed bilinear plan (flat
+// top-left source index + 4 weights per output pixel) is applied by worker
+// threads right after decode, overlapping with device compute. Random
+// gathers from a ~1.4MB source sit in L2 — this is the wrong access pattern
+// for the TPU's gather path (measured issue-rate-bound there) and the right
+// one for the CPU.
+// ---------------------------------------------------------------------------
+
+struct WarpPlan {
+  std::vector<int32_t> idx00;  // n_out
+  std::vector<float> w;        // n_out * 4
+  int n_out = 0;
+  int src_w = 0;
+  int src_stride = 0;
+};
+
+void* wp_create(const int32_t* idx00, const float* w, int n_out,
+                int src_w) {
+  WarpPlan* p = new WarpPlan();
+  p->idx00.assign(idx00, idx00 + n_out);
+  p->w.assign(w, w + size_t(n_out) * 4);
+  p->n_out = n_out;
+  p->src_w = src_w;
+  return p;
+}
+
+void wp_apply(void* plan, const float* src, float* dst, int n_threads) {
+  WarpPlan* p = static_cast<WarpPlan*>(plan);
+  const int W = p->src_w;
+  auto run = [&](int lo, int hi) {
+    const int32_t* idx = p->idx00.data();
+    const float* w = p->w.data();
+    for (int i = lo; i < hi; i++) {
+      const int32_t k = idx[i];
+      const float* ww = w + size_t(i) * 4;
+      dst[i] = ww[0] * src[k] + ww[1] * src[k + 1] + ww[2] * src[k + W] +
+               ww[3] * src[k + W + 1];
+    }
+  };
+  int nt = n_threads > 0 ? n_threads : 4;
+  if (nt == 1) {
+    run(0, p->n_out);
+    return;
+  }
+  std::vector<std::thread> ts;
+  int chunk = (p->n_out + nt - 1) / nt;
+  for (int t = 0; t < nt; t++) {
+    int lo = t * chunk;
+    int hi = std::min(p->n_out, lo + chunk);
+    if (lo < hi) ts.emplace_back(run, lo, hi);
+  }
+  for (auto& th : ts) th.join();
+}
+
+void wp_destroy(void* plan) { delete static_cast<WarpPlan*>(plan); }
 
 // Blocks until the NEXT in-order frame is decoded. Returns 1 on success and
 // fills (*width, *height); 0 at end of sequence; -1 on decode failure.
