@@ -103,6 +103,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     from cubemapslam_tpu.native import make_loader
     loader = make_loader([p for _, p in images],
                          n_workers=int(os.environ.get("DL_WORKERS", "4")))
+    # per-stage device tracing (SURVEY.md §5): set CUBEMAP_PROFILE=/dir to
+    # capture a jax.profiler trace of the first 50 frames for xprof
+    prof_dir = os.environ.get("CUBEMAP_PROFILE")
+    if prof_dir:
+        import jax
+        jax.profiler.start_trace(prof_dir)
     times = []
     for i, (idx, img) in enumerate(loader):
         ts = images[idx][0]
@@ -116,6 +122,13 @@ def main(argv: Optional[List[str]] = None) -> int:
             print(f"frame {i}/{len(images)} state={slam.state.name} "
                   f"kf={slam.n_kf} {dt*1000:.0f}ms")
 
+        if prof_dir and i == 50:
+            import jax
+            jax.profiler.stop_trace()
+            prof_dir = None
+    if prof_dir:
+        import jax
+        jax.profiler.stop_trace()
     slam.save_keyframe_trajectory_tum(traj_out)
     med = float(np.median(times))
     mean = float(np.mean(times))
