@@ -5,9 +5,15 @@ frame, Examples/cubemap_lafida.cpp:145-168): fisheye->cubemap warp + ORB
 extraction + landmark projection matching + pose optimization, at the Lafida
 cam0 working configuration (650^2 faces, 2000 features, 8 levels).
 
-The warp runs on host threads via the native C++ plan (the reference's
-cv::remap architecture) overlapped with device compute; the device step is
-one jitted program (extract -> match -> pose optimization).
+Pipeline shape (tuned for the TPU tunnel this runs over, where interleaved
+host->device uploads are ~60MB/s):
+  * the warp runs on host threads via the native C++ plan (the reference's
+    cv::remap architecture) and the 5 valid cube faces upload as uint8
+    (2.1MB instead of the 15MB f32 cross);
+  * the device step (face reassembly + extract + match + pose optimization)
+    is ONE jitted program;
+  * frames run depth-2 pipelined: the host warps/uploads frame k+1 while
+    the device processes frame k, syncing only on the scalar inlier count.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is against the 30 frames/s camera rate the reference targets
@@ -31,6 +37,7 @@ def main():
     from cubemapslam_tpu import warp as W
     from cubemapslam_tpu.features.extractor import extract_orb, plan_levels
     from cubemapslam_tpu.optim.pose_opt import pose_optimization
+    from cubemapslam_tpu.native import NativeWarp
 
     cfg = SlamConfig()  # Lafida cam0 defaults: 650^2 faces, 2000 features
     cam = CubemapCamera.from_config(cfg)
@@ -40,8 +47,16 @@ def main():
     inv_sigma2 = 1.0 / jnp.asarray(cfg.level_sigma2, jnp.float32)
     wm = W.build_warp_map(cam, cfg.cube_w, cfg.cube_h)
 
+    FW, FH = cfg.cube_face_w, cfg.cube_face_h
+    OFF = [(1, 1), (0, 1), (2, 1), (1, 0), (1, 2)]  # cross layout offsets
+
     @jax.jit
-    def frame_step(cube, lm_pos, lm_desc, lm_level, lm_valid, R0, t0):
+    def frame_step(faces_u8, lm_pos, lm_desc, lm_level, lm_valid, R0, t0):
+        cube = jnp.zeros((cfg.cube_h, cfg.cube_w), jnp.float32)
+        f = faces_u8.astype(jnp.float32)
+        for i, (ox, oy) in enumerate(OFF):
+            cube = jax.lax.dynamic_update_slice(cube, f[i],
+                                                (oy * FH, ox * FW))
         kp = extract_orb(params, cam, cube,
                          ini_th=cfg.ini_th_fast, min_th=cfg.min_th_fast)
         Xc = G.se3_apply(R0, t0, lm_pos)
@@ -51,19 +66,29 @@ def main():
         assoc = jnp.full((kp.n,), -1, jnp.int32).at[res.idx].max(
             jnp.where(res.ok,
                       jnp.arange(lm_pos.shape[0], dtype=jnp.int32), -1))
-        has = assoc >= 0
         Xw = lm_pos[jnp.maximum(assoc, 0)]
         uv_face = cubemap_uv_to_in_face(cam, kp.uv)
         inv_s2 = inv_sigma2[jnp.clip(kp.level, 0, cfg.n_levels - 1)]
         R, t, inl, n = pose_optimization(cam, R0, t0, Xw, kp.face,
-                                         uv_face, inv_s2, has)
+                                         uv_face, inv_s2, assoc >= 0)
         return R, t, n
 
-    from cubemapslam_tpu.native import NativeWarp
     rng = np.random.default_rng(0)
     fisheye = rng.uniform(
         0, 255, (cfg.fisheye_height, cfg.fisheye_width)).astype(np.float32)
-    native_warp = NativeWarp(wm, n_threads=6)
+    native_warp = NativeWarp(wm, n_threads=4)
+
+    def host_frame():
+        cube = native_warp(fisheye)
+        out = np.empty((5, FH, FW), np.uint8)
+        for i, (ox, oy) in enumerate(OFF):
+            np.clip(cube[oy * FH:(oy + 1) * FH, ox * FW:(ox + 1) * FW],
+                    0, 255,
+                    out=cube[oy * FH:(oy + 1) * FH, ox * FW:(ox + 1) * FW])
+            out[i] = cube[oy * FH:(oy + 1) * FH,
+                          ox * FW:(ox + 1) * FW].astype(np.uint8)
+        return out
+
     n_lm = 8192
     d = rng.normal(size=(n_lm, 3))
     d /= np.linalg.norm(d, axis=1, keepdims=True)
@@ -76,22 +101,21 @@ def main():
     t0 = jnp.zeros(3)
 
     # warmup / compile
-    cube = jnp.asarray(native_warp(fisheye))
-    out = frame_step(cube, lm_pos, lm_desc, lm_level, lm_valid, R0, t0)
+    out = frame_step(jnp.asarray(host_frame()), lm_pos, lm_desc, lm_level,
+                     lm_valid, R0, t0)
     jax.block_until_ready(out)
 
-    # steady state: host warps frame k+1 while the device runs frame k
-    from concurrent.futures import ThreadPoolExecutor
+    # depth-2 pipelined steady state
     n_iters = 20
-    pool = ThreadPoolExecutor(1)
+    prev = None
     t_start = time.perf_counter()
-    fut = pool.submit(native_warp, fisheye)
     for _ in range(n_iters):
-        cube_np = fut.result()
-        fut = pool.submit(native_warp, fisheye)
-        out = frame_step(jnp.asarray(cube_np), lm_pos, lm_desc, lm_level,
-                         lm_valid, R0, t0)
-        jax.block_until_ready(out)
+        cur = frame_step(jnp.asarray(host_frame()), lm_pos, lm_desc,
+                         lm_level, lm_valid, R0, t0)
+        if prev is not None:
+            _ = int(prev[2])
+        prev = cur
+    _ = int(prev[2])
     dt = (time.perf_counter() - t_start) / n_iters
     fps = 1.0 / dt
 

@@ -237,6 +237,38 @@ class TrackingKernels:
         return assoc_new, vis_add
 
     # ------------------------------------------------------------------
+    # Fused per-frame stages: fewer host<->device round trips (each synced
+    # jitted call costs ~20-50ms through the TPU tunnel)
+    # ------------------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=(0,),
+                       static_argnames=("radius",))
+    def track_motion_fused(self, arena: SM.MapArena, kp_cur: Keypoints,
+                           last_assoc, last_outlier, last_kp_level,
+                           R_pred, t_pred, radius: float = 15.0):
+        """track_last_frame + optimize_pose in one program."""
+        assoc, n = self.track_last_frame(
+            arena, kp_cur, last_assoc, last_outlier, last_kp_level,
+            R_pred, t_pred, radius=radius)
+        R, t, outlier, n_inl = self.optimize_pose(arena, kp_cur, assoc,
+                                                  R_pred, t_pred)
+        return assoc, n, R, t, outlier, n_inl
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def track_local_fused(self, arena: SM.MapArena, kp_cur: Keypoints,
+                          assoc, outlier, R, t):
+        """TrackLocalMap in one program: local selection + projection
+        search + pose optimization + visible/found counter updates."""
+        assoc = jnp.where(outlier, SM.NO_LM, assoc)
+        sel, sel_ok, _ = self.select_local_landmarks(arena, assoc)
+        assoc, vis_add = self.search_local_points(arena, kp_cur, assoc,
+                                                  sel, sel_ok, R, t)
+        R, t, outlier, n_final = self.optimize_pose(arena, kp_cur, assoc,
+                                                    R, t)
+        arena = self.update_found_counters(arena, assoc, outlier, vis_add)
+        return arena, assoc, outlier, R, t, n_final
+
+    # ------------------------------------------------------------------
     # Keyframe creation
     # ------------------------------------------------------------------
 

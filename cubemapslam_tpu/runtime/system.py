@@ -313,36 +313,28 @@ class CubemapSLAM:
         else:
             R_pred, t_pred = R_last, t_last
 
-        assoc, n = k.track_last_frame(
+        assoc, n, R, t, outlier, n_inl = k.track_motion_fused(
             self.arena, kp, self.last.assoc, self.last.outlier,
             self.last.kp.level, R_pred, t_pred, radius=15.0)
         if int(n) < 20:  # widen the window (Tracking.cpp:641-648)
-            assoc, n = k.track_last_frame(
+            assoc, n, R, t, outlier, n_inl = k.track_motion_fused(
                 self.arena, kp, self.last.assoc, self.last.outlier,
                 self.last.kp.level, R_pred, t_pred, radius=30.0)
         if int(n) < 20:  # fall back to reference KF (Tracking.cpp:191-200)
             assoc, n = k.track_reference_kf(self.arena, kp,
                                             jnp.int32(self.ref_kf))
-            R_pred, t_pred = R_last, t_last
-        if int(n) < 15:
-            self._set_lost(kp, fid, ts)
-            return
-        R, t, outlier, n_inl = k.optimize_pose(self.arena, kp, assoc,
-                                               R_pred, t_pred)
-        if int(n_inl) < 10:
+            if int(n) < 15:
+                self._set_lost(kp, fid, ts)
+                return
+            R, t, outlier, n_inl = k.optimize_pose(self.arena, kp, assoc,
+                                                   R_last, t_last)
+        if int(n) < 15 or int(n_inl) < 10:
             self._set_lost(kp, fid, ts)
             return
 
         # local-map tracking (TrackLocalMap, Tracking.cpp:679-719)
-        assoc = jnp.where(outlier, SM.NO_LM, assoc)
-        sel, sel_ok, local_mask = k.select_local_landmarks(self.arena,
-                                                           assoc)
-        assoc, vis_add = k.search_local_points(self.arena, kp, assoc, sel,
-                                               sel_ok, R, t)
-        R, t, outlier, n_final = k.optimize_pose(self.arena, kp, assoc,
-                                                 R, t)
-        self.arena = k.update_found_counters(self.arena, assoc, outlier,
-                                             vis_add)
+        self.arena, assoc, outlier, R, t, n_final = k.track_local_fused(
+            self.arena, kp, assoc, outlier, R, t)
         n_final_i = int(n_final)
         if n_final_i < self.cfg.min_track_inliers:
             self._set_lost(kp, fid, ts)
