@@ -105,19 +105,46 @@ def main():
                      lm_valid, R0, t0)
     jax.block_until_ready(out)
 
-    # depth-2 pipelined steady state
-    n_iters = 20
-    prev = None
-    t_start = time.perf_counter()
+    # Pipelined steady state. The tunnel's RPC round-trip is ~26 ms, so the
+    # loop must never block on the current frame: frame k+1 warps AND
+    # uploads on a host thread while frame k dispatches; result scalars are
+    # prefetched with copy_to_host_async and consumed DEPTH frames later.
+    # The loop is then paced by the device step alone; per-frame wall times
+    # are recorded and fps is reported from the MEDIAN (the reference's
+    # headline metric is median tracking time, cubemap_lafida.cpp:167,
+    # and the tunnel adds heavy-tailed jitter).
+    import collections
+    import concurrent.futures
+
+    dev = jax.devices()[0]
+
+    def host_frame_dev():
+        return jax.device_put(host_frame(), dev)
+
+    pool = concurrent.futures.ThreadPoolExecutor(1)
+    DEPTH = 4
+    n_iters = 60
+    inflight = collections.deque()
+    warp_fut = pool.submit(host_frame_dev)
+    times = []
+    t_prev = time.perf_counter()
     for _ in range(n_iters):
-        cur = frame_step(jnp.asarray(host_frame()), lm_pos, lm_desc,
+        faces_dev = warp_fut.result()
+        warp_fut = pool.submit(host_frame_dev)
+        cur = frame_step(faces_dev, lm_pos, lm_desc,
                          lm_level, lm_valid, R0, t0)
-        if prev is not None:
-            _ = int(prev[2])
-        prev = cur
-    _ = int(prev[2])
-    dt = (time.perf_counter() - t_start) / n_iters
+        cur[2].copy_to_host_async()
+        inflight.append(cur)
+        if len(inflight) >= DEPTH:
+            _ = int(inflight.popleft()[2])
+        t_now = time.perf_counter()
+        times.append(t_now - t_prev)
+        t_prev = t_now
+    while inflight:
+        _ = int(inflight.popleft()[2])
+    dt = float(np.median(times[DEPTH:]))
     fps = 1.0 / dt
+    pool.shutdown(wait=False)
 
     print(json.dumps({
         "metric": "tracking_frames_per_second_per_chip",
