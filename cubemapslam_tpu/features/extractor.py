@@ -39,6 +39,11 @@ EDGE_BORDER = 19          # keep-out border in level coords (ORBExtractor.h)
 PATCH_R = 18              # descriptor patch radius (rotated pattern reach)
 ORI_R = 15                # orientation circular-patch radius (HALF_PATCH_SIZE)
 _PATCH = 2 * PATCH_R + 1  # 37
+BLUR_R = 3                # 7x7 sigma-2 Gaussian (GaussianBlur, cpp:832)
+RAW_R = PATCH_R + BLUR_R  # 21: raw-patch radius covering blurred desc reach
+_RAW = 2 * RAW_R + 1      # 43
+N_ROT = 32                # steered-BRIEF rotation bins (11.25deg; the ORB
+                          # paper's formulation — learned pattern used 12deg)
 
 
 class OrbParams(NamedTuple):
@@ -325,6 +330,103 @@ def _descriptors(blur_patches: jnp.ndarray, angles: jnp.ndarray
 
 
 # ---------------------------------------------------------------------------
+# MXU operators: composed pyramid resize + blur-folded binned rBRIEF
+# ---------------------------------------------------------------------------
+
+def _linear_resize_mat(n0: int, n1: int) -> np.ndarray:
+    """(n1, n0) half-pixel-center linear interpolation matrix (the operator
+    jax.image.resize 'linear' applies along one axis)."""
+    A = np.zeros((n1, n0), np.float32)
+    for i in range(n1):
+        x = (i + 0.5) * n0 / n1 - 0.5
+        x0 = int(np.floor(x))
+        f = x - x0
+        A[i, np.clip(x0, 0, n0 - 1)] += 1.0 - f
+        A[i, np.clip(x0 + 1, 0, n0 - 1)] += f
+    return A
+
+
+@functools.lru_cache(maxsize=8)
+def _pyramid_operators(level_hw: Tuple[Tuple[int, int], ...]
+                       ) -> Tuple[Tuple[np.ndarray, np.ndarray], ...]:
+    """Per-level (A, B^T) so that level_l = A @ level_0 @ B^T.
+
+    The reference chains 1.2x resizes (ComputePyramid cpp:928-953); chained
+    linear resize is a linear operator, so we compose the per-step matrices
+    once on the host and each level becomes ONE matmul pair from level 0 —
+    identical pixels, no serial level-to-level dependency on device, and the
+    sparse 2-tap interpolation rides the MXU instead of XLA's slow per-level
+    dot lowering."""
+    ops = []
+    Ah = np.eye(level_hw[0][0], dtype=np.float32)
+    Aw = np.eye(level_hw[0][1], dtype=np.float32)
+    for lv in range(1, len(level_hw)):
+        h0, w0 = level_hw[lv - 1]
+        h1, w1 = level_hw[lv]
+        Ah = _linear_resize_mat(h0, h1) @ Ah
+        Aw = _linear_resize_mat(w0, w1) @ Aw
+        ops.append((Ah.copy(), Aw.T.copy()))
+    return tuple(ops)
+
+
+@functools.lru_cache(maxsize=1)
+def _descriptor_operator() -> np.ndarray:
+    """(43*43, N_ROT*256) operator taking a flat RAW 43x43 patch to the 256
+    comparison scores (t2 - t1) for every rotation bin, with the 7x7 sigma-2
+    Gaussian blur folded in (blur is linear, so blur+rBRIEF compose into one
+    matrix). Descriptor bit s = score > 0. Replaces per-keypoint in-patch
+    gathers (TPU-hostile) with one MXU matmul (computeOrbDescriptor,
+    ORBExtractor.cpp:79-118 + GaussianBlur cpp:829-836)."""
+    pat = orb_pattern().astype(np.float64)              # (256, 4)
+    g = _gaussian_kernel1d()
+    G2 = np.outer(g, g)                                 # (7, 7)
+    D = np.zeros((N_ROT, _RAW * _RAW, 256), np.float32)
+    for b in range(N_ROT):
+        th = 2.0 * np.pi * b / N_ROT
+        ca, sa = np.cos(th), np.sin(th)
+        for (cx, cy), sign in (((pat[:, 2], pat[:, 3]), 1.0),
+                               ((pat[:, 0], pat[:, 1]), -1.0)):
+            rx = np.clip(np.round(cx * ca - cy * sa), -PATCH_R, PATCH_R)
+            ry = np.clip(np.round(cx * sa + cy * ca), -PATCH_R, PATCH_R)
+            rx = rx.astype(np.int64)
+            ry = ry.astype(np.int64)
+            for dy in range(-BLUR_R, BLUR_R + 1):
+                for dx in range(-BLUR_R, BLUR_R + 1):
+                    idx = (ry + dy + RAW_R) * _RAW + (rx + dx + RAW_R)
+                    np.add.at(D[b], (idx, np.arange(256)),
+                              sign * G2[dy + BLUR_R, dx + BLUR_R])
+    return D.transpose(1, 0, 2).reshape(_RAW * _RAW, N_ROT * 256)
+
+
+@functools.lru_cache(maxsize=1)
+def _moment_operator() -> np.ndarray:
+    """(43*43, 2) operator: flat raw patch -> (m10, m01) intensity-centroid
+    moments over the central radius-15 circular patch (IC_Angle cpp:48-75)."""
+    wx31, wy31, _ = _circular_moment_weights()
+    o = RAW_R - ORI_R
+    WX = np.zeros((_RAW, _RAW), np.float32)
+    WY = np.zeros((_RAW, _RAW), np.float32)
+    WX[o:o + 2 * ORI_R + 1, o:o + 2 * ORI_R + 1] = wx31
+    WY[o:o + 2 * ORI_R + 1, o:o + 2 * ORI_R + 1] = wy31
+    return np.stack([WX.ravel(), WY.ravel()], axis=1)
+
+
+def _angle_and_desc(raw_patches: jnp.ndarray
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """IC angle + blur-folded rBRIEF from raw 43x43 patches, all MXU work."""
+    flat = raw_patches.reshape(raw_patches.shape[0], -1)
+    mom = flat @ jnp.asarray(_moment_operator())        # (K, 2)
+    ang = jnp.arctan2(mom[:, 1], mom[:, 0])
+    scores = flat @ jnp.asarray(_descriptor_operator())  # (K, N_ROT*256)
+    bins = jnp.mod(jnp.round(ang * (N_ROT / (2.0 * np.pi))).astype(jnp.int32),
+                   N_ROT)
+    sc = scores.reshape(scores.shape[0], N_ROT, 256)
+    t = jnp.take_along_axis(sc, bins[:, None, None], axis=1)[:, 0, :]
+    desc = _pack_bits((t > 0).astype(jnp.uint32))
+    return ang, desc
+
+
+# ---------------------------------------------------------------------------
 # Full extractor
 # ---------------------------------------------------------------------------
 
@@ -368,15 +470,12 @@ def _extract_level(img: jnp.ndarray, k: int, cell: int, ini_th: int,
     ys_f = ys.astype(jnp.float32) + dy
     xs_f = xs.astype(jnp.float32) + dx
 
-    # patch extraction via vmapped dynamic_slice lowers to CONTIGUOUS
-    # gathers, which the TPU handles far better than per-element random
-    # gathers (a direct (K,512) sample gather and a 31x31 whole-image conv
-    # were both measured ~10x slower here)
-    raw_patches = _gather_patches(img, ys, xs, ORI_R)
-    angles = _ic_angle(raw_patches)
-    blurred = _blur(img)
-    blur_patches = _gather_patches(blurred, ys, xs, PATCH_R)
-    desc = _descriptors(blur_patches, angles)
+    # ONE contiguous 43x43 raw-patch gather per keypoint (vmapped
+    # dynamic_slice lowers to contiguous gathers, which the TPU handles far
+    # better than per-element random gathers); orientation + blurred rBRIEF
+    # are then pure MXU matmuls over the flat patches (_angle_and_desc).
+    raw_patches = _gather_patches(img, ys, xs, RAW_R)
+    angles, desc = _angle_and_desc(raw_patches)
     return ys_f, xs_f, resp, angles, desc
 
 
@@ -391,11 +490,13 @@ def extract_orb(params: OrbParams, cam: CubemapCamera, image: jnp.ndarray,
     (see build_extractor).
     """
     uv_all, resp_all, ang_all, lvl_all, desc_all = [], [], [], [], []
-    img_l = image
+    pyr_ops = _pyramid_operators(params.level_hw)
     for lv in range(params.n_levels):
-        h, w = params.level_hw[lv]
-        if lv > 0:
-            img_l = jax.image.resize(img_l, (h, w), "linear")
+        if lv == 0:
+            img_l = image
+        else:
+            A, Bt = pyr_ops[lv - 1]
+            img_l = jnp.asarray(A) @ image @ jnp.asarray(Bt)
         ys, xs, resp, ang, desc = _extract_level(
             img_l, params.level_k[lv], params.cell, ini_th, min_th)
         s = params.scale_factor ** lv
