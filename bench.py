@@ -22,6 +22,7 @@ vs_baseline is against the 30 frames/s camera rate the reference targets
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -76,18 +77,11 @@ def main():
     rng = np.random.default_rng(0)
     fisheye = rng.uniform(
         0, 255, (cfg.fisheye_height, cfg.fisheye_width)).astype(np.float32)
-    native_warp = NativeWarp(wm, n_threads=4)
+    native_warp = NativeWarp(wm, n_threads=max(1, (os.cpu_count() or 2)))
 
     def host_frame():
-        cube = native_warp(fisheye)
-        out = np.empty((5, FH, FW), np.uint8)
-        for i, (ox, oy) in enumerate(OFF):
-            np.clip(cube[oy * FH:(oy + 1) * FH, ox * FW:(ox + 1) * FW],
-                    0, 255,
-                    out=cube[oy * FH:(oy + 1) * FH, ox * FW:(ox + 1) * FW])
-            out[i] = cube[oy * FH:(oy + 1) * FH,
-                          ox * FW:(ox + 1) * FW].astype(np.uint8)
-        return out
+        # face-packed u8 warp: only the 5 valid cross cells, u8 out (2.1MB)
+        return native_warp.faces(fisheye)
 
     n_lm = 8192
     d = rng.normal(size=(n_lm, 3))

@@ -24,6 +24,8 @@ from typing import NamedTuple, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from cubemapslam_tpu import camera as C
 from cubemapslam_tpu.camera import CubemapCamera
@@ -42,8 +44,12 @@ _PATCH = 2 * PATCH_R + 1  # 37
 BLUR_R = 3                # 7x7 sigma-2 Gaussian (GaussianBlur, cpp:832)
 RAW_R = PATCH_R + BLUR_R  # 21: raw-patch radius covering blurred desc reach
 _RAW = 2 * RAW_R + 1      # 43
+_RAWP = 48                # patch padded to 48x48 (tiling-friendly; rows/cols
+                          # >= 43 are junk and zeroed in the flat operators)
 N_ROT = 32                # steered-BRIEF rotation bins (11.25deg; the ORB
                           # paper's formulation — learned pattern used 12deg)
+_DMA_BATCH = 16           # per-program outstanding patch DMAs (gather kernel)
+_WIN_H, _WIN_W = 56, 256  # aligned DMA window containing any 48x48 patch
 
 
 class OrbParams(NamedTuple):
@@ -330,6 +336,88 @@ def _descriptors(blur_patches: jnp.ndarray, angles: jnp.ndarray
 
 
 # ---------------------------------------------------------------------------
+# Patch gather: per-keypoint DMA kernel (TPU) / vmapped dynamic_slice (CPU)
+# ---------------------------------------------------------------------------
+
+def _gather_kernel(yal_ref, dy_ref, xal_ref, dx_ref, img_ref, out_ref,
+                   scratch, sems):
+    """Copy _DMA_BATCH aligned (56,256) windows HBM->VMEM with all DMAs in
+    flight at once (the XLA lowering of a vmapped dynamic_slice issues them
+    serially, ~0.8us each), then crop each 48x48 patch with positive-modulo
+    rolls (Mosaic requires DMA starts aligned to the (8,128) tile, so the
+    sub-tile offset is applied on-chip)."""
+    p = pl.program_id(0)
+    base = p * _DMA_BATCH
+
+    def start(i, _):
+        y = pl.multiple_of(yal_ref[base + i], 8)
+        x = pl.multiple_of(xal_ref[base + i], 128)
+        pltpu.make_async_copy(img_ref.at[pl.ds(y, _WIN_H), pl.ds(x, _WIN_W)],
+                              scratch.at[i], sems.at[i]).start()
+        return 0
+
+    jax.lax.fori_loop(0, _DMA_BATCH, start, 0, unroll=True)
+
+    def crop(i, _):
+        y = pl.multiple_of(yal_ref[base + i], 8)
+        x = pl.multiple_of(xal_ref[base + i], 128)
+        pltpu.make_async_copy(img_ref.at[pl.ds(y, _WIN_H), pl.ds(x, _WIN_W)],
+                              scratch.at[i], sems.at[i]).wait()
+        w = scratch[i]
+        # NOTE: negative sublane shifts miscompile on v5e Mosaic; use the
+        # positive modular complement for both axes.
+        w = pltpu.roll(w, shift=(_WIN_H - dy_ref[base + i]) % _WIN_H, axis=0)
+        w = pltpu.roll(w, shift=(_WIN_W - dx_ref[base + i]) % _WIN_W, axis=1)
+        out_ref[i] = w[:_RAWP, :_RAWP]
+        return 0
+
+    jax.lax.fori_loop(0, _DMA_BATCH, crop, 0, unroll=True)
+
+
+def _gather_patches_padded(img: jnp.ndarray, ys: jnp.ndarray,
+                           xs: jnp.ndarray) -> jnp.ndarray:
+    """(K, 48, 48) raw patches whose [:43,:43] block is the 43x43 patch
+    centered at integer (ys, xs); image is edge-replicated at borders.
+    Remaining rows/cols hold junk pixels that the flat operators zero out."""
+    H, W = img.shape
+    K = ys.shape[0]
+    # edge-pad by RAW_R, then pad up to aligned shapes with slack for the
+    # (56, 256) windows at the largest aligned start
+    Hp = ((H + 2 * RAW_R - 1) // 8) * 8 + _WIN_H
+    Wp = ((W + 2 * RAW_R - 1) // 128) * 128 + _WIN_W
+    padded = jnp.pad(img, ((RAW_R, Hp - H - RAW_R), (RAW_R, Wp - W - RAW_R)),
+                     mode="edge")
+    # top-left of each patch in padded coords
+    yt = jnp.clip(ys, 0, H - 1)
+    xt = jnp.clip(xs, 0, W - 1)
+    if jax.default_backend() == "cpu":
+        def one(y, x):
+            return jax.lax.dynamic_slice(padded, (y, x), (_RAWP, _RAWP))
+        return jax.vmap(one)(yt, xt)
+    K16 = -(-K // _DMA_BATCH) * _DMA_BATCH
+    yt = jnp.pad(yt, (0, K16 - K))
+    xt = jnp.pad(xt, (0, K16 - K))
+    yal = yt & ~jnp.int32(7)
+    xal = xt & ~jnp.int32(127)
+    out = pl.pallas_call(
+        _gather_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(K16 // _DMA_BATCH,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec((_DMA_BATCH, _RAWP, _RAWP),
+                                   lambda i, *_: (i, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((_DMA_BATCH, _WIN_H, _WIN_W), jnp.float32),
+                pltpu.SemaphoreType.DMA((_DMA_BATCH,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((K16, _RAWP, _RAWP), jnp.float32),
+    )(yal, yt - yal, xal, xt - xal, padded)
+    return out[:K]
+
+
+# ---------------------------------------------------------------------------
 # MXU operators: composed pyramid resize + blur-folded binned rBRIEF
 # ---------------------------------------------------------------------------
 
@@ -380,7 +468,7 @@ def _descriptor_operator() -> np.ndarray:
     pat = orb_pattern().astype(np.float64)              # (256, 4)
     g = _gaussian_kernel1d()
     G2 = np.outer(g, g)                                 # (7, 7)
-    D = np.zeros((N_ROT, _RAW * _RAW, 256), np.float32)
+    D = np.zeros((N_ROT, _RAWP * _RAWP, 256), np.float32)
     for b in range(N_ROT):
         th = 2.0 * np.pi * b / N_ROT
         ca, sa = np.cos(th), np.sin(th)
@@ -392,10 +480,10 @@ def _descriptor_operator() -> np.ndarray:
             ry = ry.astype(np.int64)
             for dy in range(-BLUR_R, BLUR_R + 1):
                 for dx in range(-BLUR_R, BLUR_R + 1):
-                    idx = (ry + dy + RAW_R) * _RAW + (rx + dx + RAW_R)
+                    idx = (ry + dy + RAW_R) * _RAWP + (rx + dx + RAW_R)
                     np.add.at(D[b], (idx, np.arange(256)),
                               sign * G2[dy + BLUR_R, dx + BLUR_R])
-    return D.transpose(1, 0, 2).reshape(_RAW * _RAW, N_ROT * 256)
+    return D.transpose(1, 0, 2).reshape(_RAWP * _RAWP, N_ROT * 256)
 
 
 @functools.lru_cache(maxsize=1)
@@ -404,8 +492,8 @@ def _moment_operator() -> np.ndarray:
     moments over the central radius-15 circular patch (IC_Angle cpp:48-75)."""
     wx31, wy31, _ = _circular_moment_weights()
     o = RAW_R - ORI_R
-    WX = np.zeros((_RAW, _RAW), np.float32)
-    WY = np.zeros((_RAW, _RAW), np.float32)
+    WX = np.zeros((_RAWP, _RAWP), np.float32)
+    WY = np.zeros((_RAWP, _RAWP), np.float32)
     WX[o:o + 2 * ORI_R + 1, o:o + 2 * ORI_R + 1] = wx31
     WY[o:o + 2 * ORI_R + 1, o:o + 2 * ORI_R + 1] = wy31
     return np.stack([WX.ravel(), WY.ravel()], axis=1)
@@ -413,11 +501,18 @@ def _moment_operator() -> np.ndarray:
 
 def _angle_and_desc(raw_patches: jnp.ndarray
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """IC angle + blur-folded rBRIEF from raw 43x43 patches, all MXU work."""
+    """IC angle + blur-folded rBRIEF from raw 43x43 patches, all MXU work.
+
+    The big descriptor dot runs with bf16 inputs + f32 accumulation: pixel
+    values are 0..255 (8 significand bits suffice) and the comparison
+    operator entries are Gaussian-weight sums; measured bit-identical
+    descriptors vs the f32 dot at ~4x the MXU rate."""
     flat = raw_patches.reshape(raw_patches.shape[0], -1)
     mom = flat @ jnp.asarray(_moment_operator())        # (K, 2)
     ang = jnp.arctan2(mom[:, 1], mom[:, 0])
-    scores = flat @ jnp.asarray(_descriptor_operator())  # (K, N_ROT*256)
+    scores = jax.lax.dot(flat.astype(jnp.bfloat16),
+                         jnp.asarray(_descriptor_operator(), jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
     bins = jnp.mod(jnp.round(ang * (N_ROT / (2.0 * np.pi))).astype(jnp.int32),
                    N_ROT)
     sc = scores.reshape(scores.shape[0], N_ROT, 256)
@@ -470,11 +565,10 @@ def _extract_level(img: jnp.ndarray, k: int, cell: int, ini_th: int,
     ys_f = ys.astype(jnp.float32) + dy
     xs_f = xs.astype(jnp.float32) + dx
 
-    # ONE contiguous 43x43 raw-patch gather per keypoint (vmapped
-    # dynamic_slice lowers to contiguous gathers, which the TPU handles far
-    # better than per-element random gathers); orientation + blurred rBRIEF
-    # are then pure MXU matmuls over the flat patches (_angle_and_desc).
-    raw_patches = _gather_patches(img, ys, xs, RAW_R)
+    # ONE 48x48 raw-patch gather per keypoint (per-keypoint DMA kernel on
+    # TPU); orientation + blurred rBRIEF are then pure MXU matmuls over the
+    # flat patches (_angle_and_desc).
+    raw_patches = _gather_patches_padded(img, ys, xs)
     angles, desc = _angle_and_desc(raw_patches)
     return ys_f, xs_f, resp, angles, desc
 

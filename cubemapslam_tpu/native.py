@@ -69,6 +69,10 @@ def _load_lib():
     lib.wp_apply.argtypes = [ctypes.c_void_p,
                              ctypes.POINTER(ctypes.c_float),
                              ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+    lib.wp_apply_u8.restype = None
+    lib.wp_apply_u8.argtypes = [ctypes.c_void_p,
+                                ctypes.POINTER(ctypes.c_float),
+                                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
     lib.wp_destroy.restype = None
     lib.wp_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
@@ -165,6 +169,10 @@ class NativeWarp:
     (the reference's cv::remap architecture; overlappable with device
     compute). Built from a warp.WarpMap."""
 
+    # cross layout: face i -> (x, y) cell offsets in face units
+    # (front, left, right, upper, lower — CamModelGeneral cpp:109-150)
+    FACE_CELLS = ((1, 1), (0, 1), (2, 1), (1, 0), (1, 2))
+
     def __init__(self, warp_map, n_threads: int = 4):
         lib = _load_lib()
         if lib is None:
@@ -181,6 +189,25 @@ class NativeWarp:
             idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             w.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             idx.size, self._src_w)
+        # face-packed plan: only the 5 valid cross cells (5/9 of the pixels),
+        # in face order, so faces() emits a (5, FH, FW) u8 tensor directly
+        H, W = self._shape
+        fh, fw = H // 3, W // 3
+        self._face_hw = (fh, fw)
+        idx2 = np.asarray(warp_map.idx00, np.int32)
+        w2 = np.asarray(warp_map.w, np.float32)
+        fi = np.concatenate([
+            idx2[cy * fh:(cy + 1) * fh, cx * fw:(cx + 1) * fw].reshape(-1)
+            for cx, cy in self.FACE_CELLS])
+        fwt = np.concatenate([
+            w2[cy * fh:(cy + 1) * fh, cx * fw:(cx + 1) * fw].reshape(-1, 4)
+            for cx, cy in self.FACE_CELLS]).reshape(-1)
+        fi = np.ascontiguousarray(fi)
+        fwt = np.ascontiguousarray(fwt)
+        self._face_plan = lib.wp_create(
+            fi.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            fwt.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            fi.size, self._src_w)
 
     def __call__(self, fisheye: np.ndarray) -> np.ndarray:
         src = np.ascontiguousarray(fisheye, np.float32)
@@ -192,10 +219,27 @@ class NativeWarp:
             self._n_threads)
         return out
 
+    def faces(self, fisheye: np.ndarray) -> np.ndarray:
+        """Warp directly into (5, FH, FW) uint8 face stack (front, left,
+        right, upper, lower) — the device step's upload format. Skips the
+        4/9 dead cross corners and the float->u8 pass."""
+        src = np.ascontiguousarray(fisheye, np.float32)
+        fh, fw = self._face_hw
+        out = np.empty((5, fh, fw), np.uint8)
+        self._lib.wp_apply_u8(
+            self._face_plan,
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            self._n_threads)
+        return out
+
     def close(self):
         if self._plan is not None:
             self._lib.wp_destroy(self._plan)
             self._plan = None
+        if getattr(self, "_face_plan", None) is not None:
+            self._lib.wp_destroy(self._face_plan)
+            self._face_plan = None
 
     def __del__(self):
         try:

@@ -267,6 +267,39 @@ void wp_apply(void* plan, const float* src, float* dst, int n_threads) {
   for (auto& th : ts) th.join();
 }
 
+// u8-output variant: emits rounded/clamped uint8 directly (the device step
+// consumes uint8 faces; skipping the separate float->u8 pass saves a full
+// extra traversal of the output on the frame thread).
+void wp_apply_u8(void* plan, const float* src, uint8_t* dst, int n_threads) {
+  WarpPlan* p = static_cast<WarpPlan*>(plan);
+  const int W = p->src_w;
+  auto run = [&](int lo, int hi) {
+    const int32_t* idx = p->idx00.data();
+    const float* w = p->w.data();
+    for (int i = lo; i < hi; i++) {
+      const int32_t k = idx[i];
+      const float* ww = w + size_t(i) * 4;
+      float v = ww[0] * src[k] + ww[1] * src[k + 1] + ww[2] * src[k + W] +
+                ww[3] * src[k + W + 1];
+      v = v < 0.f ? 0.f : (v > 255.f ? 255.f : v);
+      dst[i] = (uint8_t)(v + 0.5f);
+    }
+  };
+  int nt = n_threads > 0 ? n_threads : 4;
+  if (nt == 1) {
+    run(0, p->n_out);
+    return;
+  }
+  std::vector<std::thread> ts;
+  int chunk = (p->n_out + nt - 1) / nt;
+  for (int t = 0; t < nt; t++) {
+    int lo = t * chunk;
+    int hi = std::min(p->n_out, lo + chunk);
+    if (lo < hi) ts.emplace_back(run, lo, hi);
+  }
+  for (auto& th : ts) th.join();
+}
+
 void wp_destroy(void* plan) { delete static_cast<WarpPlan*>(plan); }
 
 // Blocks until the NEXT in-order frame is decoded. Returns 1 on success and
