@@ -83,7 +83,7 @@ class Keypoints(NamedTuple):
 
 
 def plan_levels(n_features: int, n_levels: int, scale_factor: float,
-                image_hw: Tuple[int, int], cell: int = 30) -> OrbParams:
+                image_hw: Tuple[int, int], cell: int = 32) -> OrbParams:
     """Compute per-level shapes and keypoint budgets (geometric distribution,
     as ORBExtractor ctor cpp:381-435)."""
     H, W = image_hw
@@ -114,40 +114,43 @@ def _run9(bits: jnp.ndarray) -> jnp.ndarray:
     return (r & np.uint32(0xFFFF)) != 0
 
 
-def _fast_maps_dual(img: jnp.ndarray, th_hi: int, th_lo: int):
-    """FAST-9/16 corner masks + ranking score for TWO thresholds in one pass
-    over the 16-neighbor stencil (the per-cell ini/min fallback needs both;
-    computing them separately doubles the HBM traffic).
+def _run9_strength(ds) -> jnp.ndarray:
+    """max over the 16 9-long circular runs of the run's min difference.
 
-    Segment test via bit packing: 16 brighter/darker comparisons packed into
-    a uint32, duplicated to handle wrap-around, run-of-9 detected with 4
-    shifted ANDs. Score is the thresholded absolute-difference sum at the
-    LOW threshold (ranking proxy for OpenCV's FAST score; only relative
-    order matters for NMS).
-    """
-    center = img
-    hi = jnp.float32(th_hi)
-    lo = jnp.float32(th_lo)
-    bb_hi = jnp.zeros(img.shape, jnp.uint32)
-    db_hi = jnp.zeros(img.shape, jnp.uint32)
-    bb_lo = jnp.zeros(img.shape, jnp.uint32)
-    db_lo = jnp.zeros(img.shape, jnp.uint32)
-    score_b = jnp.zeros(img.shape, jnp.float32)
-    score_d = jnp.zeros(img.shape, jnp.float32)
+    The doubling chain over the UNROLLED neighbor list costs 4x16 min/max
+    ops instead of packing comparison bits into a uint32 (the circular
+    rotation is list reindexing at trace time, i.e. free)."""
+    m2 = [jnp.minimum(ds[i], ds[(i + 1) % 16]) for i in range(16)]
+    m4 = [jnp.minimum(m2[i], m2[(i + 2) % 16]) for i in range(16)]
+    m8 = [jnp.minimum(m4[i], m4[(i + 4) % 16]) for i in range(16)]
+    v = None
+    for i in range(16):
+        m9 = jnp.minimum(m8[i], ds[(i + 8) % 16])
+        v = m9 if v is None else jnp.maximum(v, m9)
+    return v
+
+
+def _fast_strength(ds) -> jnp.ndarray:
+    """FAST-9/16 corner strength from the 16 neighbor differences: the
+    maximal threshold at which the segment test still fires (OpenCV's FAST
+    score; cv::FAST is what the reference extractor calls, cpp:764)."""
+    return jnp.maximum(_run9_strength(ds),
+                       _run9_strength([-d for d in ds]))
+
+
+def _fast_maps_dual(img: jnp.ndarray, th_hi: int, th_lo: int):
+    """FAST-9/16 corner masks at TWO thresholds + the corner strength as
+    the NMS/ranking response, one pass over the 16-neighbor stencil (the
+    per-cell ini/min fallback needs both thresholds; both are comparisons
+    against the same strength map)."""
+    ds = []
     for i, (dx, dy) in enumerate(_CIRCLE):
         neigh = jnp.roll(img, shift=(-int(dy), -int(dx)), axis=(0, 1))
-        d = neigh - center
-        sh = np.uint32(i)
-        bb_hi |= (d > hi).astype(jnp.uint32) << sh
-        db_hi |= (d < -hi).astype(jnp.uint32) << sh
-        bb_lo |= (d > lo).astype(jnp.uint32) << sh
-        db_lo |= (d < -lo).astype(jnp.uint32) << sh
-        score_b = score_b + jnp.maximum(d - lo, 0.0)
-        score_d = score_d + jnp.maximum(-d - lo, 0.0)
-    corner_hi = _run9(bb_hi) | _run9(db_hi)
-    corner_lo = _run9(bb_lo) | _run9(db_lo)
-    score = jnp.maximum(score_b, score_d)
-    return corner_hi, corner_lo, score
+        ds.append(neigh - img)
+    strength = _fast_strength(ds)
+    corner_hi = strength > jnp.float32(th_hi)
+    corner_lo = strength > jnp.float32(th_lo)
+    return corner_hi, corner_lo, strength
 
 
 def _fast_maps(img: jnp.ndarray, th: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -418,6 +421,179 @@ def _gather_patches_padded(img: jnp.ndarray, ys: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Fused detection kernel: FAST dual-threshold + cell fallback + 3x3 NMS +
+# per-cell top-4 + subpixel, one VMEM pass per 32-row slab (TPU)
+# ---------------------------------------------------------------------------
+
+_CELL = 32      # detection/NMS cell (reference uses 30-px FAST cells,
+                # ORBExtractor.cpp:739-803; 32 aligns with the (8,128) tile)
+_PCELL = 4      # survivors per cell (matches _topk_grid per_cell)
+
+
+def _group_bcast(x_row: jnp.ndarray, lane_mod: jnp.ndarray, op,
+                 Wp: int) -> jnp.ndarray:
+    """Broadcast an idempotent reduction (max/min) over consecutive 32-lane
+    groups: masked Hillis-Steele prefix + suffix scans, combined. Mosaic has
+    no lane-splitting reshape, so segment reductions are 10 masked rolls."""
+    r = x_row
+    p = x_row
+    for s in (1, 2, 4, 8, 16):
+        sh = pltpu.roll(r, shift=(Wp - s) % Wp, axis=1)      # j+s -> j
+        r = jnp.where(lane_mod + s < _CELL, op(r, sh), r)
+        sh2 = pltpu.roll(p, shift=s, axis=1)                 # j-s -> j
+        p = jnp.where(lane_mod >= s, op(p, sh2), p)
+    return op(p, r)
+
+
+def _cell_bcast(x: jnp.ndarray, lane_mod: jnp.ndarray, op,
+                Wp: int) -> jnp.ndarray:
+    """(32, Wp) -> (1, Wp): per-32x32-cell reduction broadcast to all lanes
+    of the group (sublane reduce, then lane-group scan)."""
+    red = (jnp.max if op is jnp.maximum else jnp.min)(x, axis=0,
+                                                      keepdims=True)
+    return _group_bcast(red, lane_mod, op, Wp)
+
+
+def _detect_kernel(img_ref, out_ref, win, sem, *, Wp, H, W, ini_th, min_th):
+    """One 32-row slab: DMA a (48, Wp) window, evaluate FAST-9/16 at both
+    thresholds on rows [-1, 33) of the slab, apply the per-cell ini->min
+    fallback, 3x3 NMS, border mask, then keep the top-4 responses per 32x32
+    cell with quadratic subpixel offsets. Emits a (16, nc) block per slab:
+    rows 0-3 responses, 4-7 packed positions (y*4096+x, exact in f32),
+    8-11 subpixel dx, 12-15 subpixel dy."""
+    k = pl.program_id(0)
+    pltpu.make_async_copy(img_ref.at[pl.ds(k * _CELL, 48)], win, sem).start()
+    pltpu.make_async_copy(img_ref.at[pl.ds(k * _CELL, 48)], win, sem).wait()
+    w = win[:]                                   # (48, Wp) f32
+    nc = Wp // _CELL
+
+    # FAST maps for I rows [32k-1, 32k+33) = window rows [7, 41)
+    center = w[7:41]
+    ds = []
+    for i, (dx, dy) in enumerate(_CIRCLE):
+        nb = w[7 + int(dy):41 + int(dy)]
+        if dx:
+            nb = pltpu.roll(nb, shift=(-int(dx)) % Wp, axis=1)
+        ds.append(nb - center)
+    score = _fast_strength(ds)
+    corner_hi = score > jnp.float32(ini_th)
+    corner_lo = score > jnp.float32(min_th)
+
+    # keep-out border in ORIGINAL image coords (EDGE_BORDER)
+    gy = jax.lax.broadcasted_iota(jnp.int32, (34, Wp), 0) + (k * _CELL - 1)
+    gx = jax.lax.broadcasted_iota(jnp.int32, (34, Wp), 1)
+    inb = ((gy >= EDGE_BORDER) & (gy < H - EDGE_BORDER)
+           & (gx >= EDGE_BORDER) & (gx < W - EDGE_BORDER))
+    strong_s = jnp.where(corner_hi & inb, score, 0.0)
+    weak_s = jnp.where(corner_lo & inb, score, 0.0)
+
+    lane_mod = jax.lax.broadcasted_iota(jnp.int32, (1, Wp), 1) % _CELL
+
+    # per-cell ini->min fallback: cells belong to this slab's rows [1, 33)
+    cell_has = _cell_bcast(strong_s[1:33], lane_mod, jnp.maximum, Wp) > 0.0             # (1, Wp), group-broadcast
+    merged = jnp.where(cell_has, strong_s, weak_s)
+
+    # 3x3 NMS on merged (rows [1,33) are the slab's own)
+    m9 = None
+    for dy in (-1, 0, 1):
+        row = merged[1 + dy:33 + dy]
+        for dx in (-1, 0, 1):
+            sh9 = pltpu.roll(row, shift=(-dx) % Wp, axis=1) if dx else row
+            m9 = sh9 if m9 is None else jnp.maximum(m9, sh9)
+    sl = merged[1:33]
+    cur = jnp.where((sl >= m9) & (sl > 0.0), sl, 0.0)   # (32, Wp)
+
+    # quadratic subpixel offsets from the merged map
+    xm = pltpu.roll(sl, shift=1, axis=1)
+    xp = pltpu.roll(sl, shift=Wp - 1, axis=1)
+    ym = merged[0:32]
+    yp = merged[2:34]
+    denx = 2.0 * sl - xm - xp
+    deny = 2.0 * sl - ym - yp
+    dxm = jnp.where(jnp.abs(denx) > 1e-6,
+                    0.5 * (xp - xm) / jnp.maximum(denx, 1e-6), 0.0)
+    dym = jnp.where(jnp.abs(deny) > 1e-6,
+                    0.5 * (yp - ym) / jnp.maximum(deny, 1e-6), 0.0)
+    dxm = jnp.clip(dxm, -0.5, 0.5)
+    dym = jnp.clip(dym, -0.5, 0.5)
+
+    # packed positions, exact in f32 (y, x < 2048 -> pack < 2^23)
+    ly = jax.lax.broadcasted_iota(jnp.int32, (_CELL, Wp), 0) + k * _CELL
+    lx = jax.lax.broadcasted_iota(jnp.int32, (_CELL, Wp), 1)
+    pack = (ly * 4096 + lx).astype(jnp.float32)
+    big = jnp.float32(2.0 ** 24)
+
+    rows = []
+    for r in range(_PCELL):
+        m = _cell_bcast(cur, lane_mod, jnp.maximum, Wp)   # (1, Wp)
+        hit = (cur >= m) & (m > 0.0)
+        p = _cell_bcast(jnp.where(hit, pack, big), lane_mod, jnp.minimum, Wp)                                # (1, Wp)
+        sel = (pack == p) & hit
+        # extract selected subpixel offsets (one element per cell): offset
+        # by +4 so max-select works on possibly-negative values
+        sx = _cell_bcast(jnp.where(sel, dxm + 4.0, 0.0), lane_mod,
+                         jnp.maximum, Wp) - 4.0
+        sy = _cell_bcast(jnp.where(sel, dym + 4.0, 0.0), lane_mod,
+                         jnp.maximum, Wp) - 4.0
+        rows.append((m, jnp.where(m > 0.0, p, 0.0), sx, sy))
+        cur = jnp.where(sel, 0.0, cur)
+
+    stack = jnp.concatenate([r[0] for r in rows] + [r[1] for r in rows]
+                            + [r[2] for r in rows] + [r[3] for r in rows],
+                            axis=0)                             # (16, Wp)
+    # downsample group-broadcast rows to one value per cell via one-hot dot
+    pick = (jax.lax.broadcasted_iota(jnp.int32, (Wp, nc), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (Wp, nc), 1) * _CELL
+            ).astype(jnp.float32)
+    # HIGHEST precision: default TPU f32 dots round operands to bf16, which
+    # would truncate the packed positions (up to 2^23)
+    out_ref[0] = jax.lax.dot(stack, pick,
+                             precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32)
+
+
+def _detect_level_tpu(img: jnp.ndarray, k: int, ini_th: int, min_th: int
+                      ) -> Tuple[jnp.ndarray, ...]:
+    """Fused FAST+NMS+cell-top4 detection -> global top-k (ys, xs, resp,
+    with subpixel refinement applied)."""
+    H, W = img.shape
+    n_slab = -(-H // _CELL)
+    Wp = -(-W // 128) * 128
+    Hp = 8 + n_slab * _CELL + 16
+    padded = jnp.pad(img, ((8, Hp - H - 8), (0, Wp - W)))
+    nc = Wp // _CELL
+    kern = functools.partial(_detect_kernel, Wp=Wp, H=H, W=W,
+                             ini_th=ini_th, min_th=min_th)
+    out = pl.pallas_call(
+        kern,
+        grid=(n_slab,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((1, 16, nc), lambda i: (i, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((48, Wp), jnp.float32),
+                        pltpu.SemaphoreType.DMA(())],
+        out_shape=jax.ShapeDtypeStruct((n_slab, 16, nc), jnp.float32),
+    )(padded)
+    resp = out[:, 0:4].reshape(-1)
+    pos = out[:, 4:8].reshape(-1)
+    subx = out[:, 8:12].reshape(-1)
+    suby = out[:, 12:16].reshape(-1)
+    k_eff = min(k, resp.shape[0])
+    top_val, top_idx = jax.lax.top_k(resp, k_eff)
+    p = pos[top_idx].astype(jnp.int32)
+    ys = p // 4096
+    xs = p % 4096
+    ys_f = ys.astype(jnp.float32) + suby[top_idx]
+    xs_f = xs.astype(jnp.float32) + subx[top_idx]
+    if k_eff < k:
+        ys = jnp.pad(ys, (0, k - k_eff))
+        xs = jnp.pad(xs, (0, k - k_eff))
+        ys_f = jnp.pad(ys_f, (0, k - k_eff))
+        xs_f = jnp.pad(xs_f, (0, k - k_eff))
+        top_val = jnp.pad(top_val, (0, k - k_eff))
+    return ys, xs, ys_f, xs_f, top_val
+
+
+# ---------------------------------------------------------------------------
 # MXU operators: composed pyramid resize + blur-folded binned rBRIEF
 # ---------------------------------------------------------------------------
 
@@ -551,19 +727,23 @@ def _subpixel_offsets(score: jnp.ndarray, ys: jnp.ndarray,
 def _extract_level(img: jnp.ndarray, k: int, cell: int, ini_th: int,
                    min_th: int) -> Tuple[jnp.ndarray, ...]:
     """One pyramid level -> fixed-k (y, x, response, angle, desc)."""
-    score = _fast_adaptive(img, ini_th, min_th, cell)
-    score = _nms3(score)
-    # keep-out border (EDGE_BORDER) — also guards patch gathers
-    H, W = img.shape
-    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-    xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-    inb = ((yy >= EDGE_BORDER) & (yy < H - EDGE_BORDER)
-           & (xx >= EDGE_BORDER) & (xx < W - EDGE_BORDER))
-    score = jnp.where(inb, score, 0.0)
-    ys, xs, resp = _topk_grid(score, cell, k)
-    dy, dx = _subpixel_offsets(score, ys, xs)
-    ys_f = ys.astype(jnp.float32) + dy
-    xs_f = xs.astype(jnp.float32) + dx
+    if jax.default_backend() == "cpu":
+        raw_score = _fast_adaptive(img, ini_th, min_th, cell)
+        score = _nms3(raw_score)
+        # keep-out border (EDGE_BORDER) — also guards patch gathers
+        H, W = img.shape
+        yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+        xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        inb = ((yy >= EDGE_BORDER) & (yy < H - EDGE_BORDER)
+               & (xx >= EDGE_BORDER) & (xx < W - EDGE_BORDER))
+        score = jnp.where(inb, score, 0.0)
+        ys, xs, resp = _topk_grid(score, cell, k)
+        # parabola over the pre-NMS response (NMS zeroes the neighbors)
+        dy, dx = _subpixel_offsets(raw_score, ys, xs)
+        ys_f = ys.astype(jnp.float32) + dy
+        xs_f = xs.astype(jnp.float32) + dx
+    else:
+        ys, xs, ys_f, xs_f, resp = _detect_level_tpu(img, k, ini_th, min_th)
 
     # ONE 48x48 raw-patch gather per keypoint (per-keypoint DMA kernel on
     # TPU); orientation + blurred rBRIEF are then pure MXU matmuls over the

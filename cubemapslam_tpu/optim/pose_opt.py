@@ -46,14 +46,24 @@ def pose_optimization(cam: CubemapCamera, R0: jnp.ndarray, t0: jnp.ndarray,
     (Optimizer.cpp:139-170).
     """
 
-    def chi2_of(R, t, mask):
+    def chi2_of(R, t):
         e = reproj_residual(cam, R, t, Xw, face, uv_face)
         chi2 = jnp.sum(e * e, axis=-1) * inv_sigma2
         return e, chi2
 
+    def rho_cost(chi2, robust, inl):
+        rho = jnp.where(robust,
+                        jnp.where(chi2 <= CHI2_TH, chi2,
+                                  2.0 * HUBER_DELTA * jnp.sqrt(
+                                      jnp.maximum(chi2, 1e-20)) - CHI2_TH),
+                        chi2)
+        return jnp.sum(jnp.where(inl & valid, rho, 0.0))
+
     def gn_iter(carry, robust):
-        R, t, lm_lambda, inl = carry
-        e, chi2 = chi2_of(R, t, inl)
+        # e/chi2/cost are carried at the CURRENT point so each LM iteration
+        # evaluates residuals exactly once (at the trial point) — the
+        # sequential 40-iteration chain is device-latency-bound
+        R, t, lm_lambda, inl, e, chi2, cost = carry
         w = inv_sigma2 * jnp.where(robust, _huber_weight(chi2), 1.0)
         w = jnp.where(inl & valid, w, 0.0)
         Jp, _ = reproj_jacobians(cam, R, t, Xw, face)    # (N,2,6)
@@ -64,34 +74,30 @@ def pose_optimization(cam: CubemapCamera, R0: jnp.ndarray, t0: jnp.ndarray,
         delta = jnp.linalg.solve(H_d, b)
         dR, dt = se3_exp(delta)
         R_new, t_new = se3_compose(dR, dt, R, t)
-        # accept if robust cost decreases
-        def cost(Rc, tc):
-            _, c2 = chi2_of(Rc, tc, inl)
-            rho = jnp.where(robust,
-                            jnp.where(c2 <= CHI2_TH, c2,
-                                      2.0 * HUBER_DELTA * jnp.sqrt(
-                                          jnp.maximum(c2, 1e-20)) - CHI2_TH),
-                            c2)
-            return jnp.sum(jnp.where(inl & valid, rho, 0.0))
-
-        improved = cost(R_new, t_new) < cost(R, t)
+        e2, chi22 = chi2_of(R_new, t_new)
+        cost2 = rho_cost(chi22, robust, inl)
+        improved = cost2 < cost
         R = jnp.where(improved, R_new, R)
         t = jnp.where(improved, t_new, t)
+        e = jnp.where(improved, e2, e)
+        chi2 = jnp.where(improved, chi22, chi2)
+        cost = jnp.where(improved, cost2, cost)
         lm_lambda = jnp.where(improved, lm_lambda * 0.5, lm_lambda * 4.0)
         lm_lambda = jnp.clip(lm_lambda, 1e-8, 1e4)
-        return (R, t, lm_lambda, inl)
+        return (R, t, lm_lambda, inl, e, chi2, cost)
 
     def round_body(r, carry):
-        R, t, _, inl = carry
+        R, t, _, inl, e, chi2, _ = carry
         robust = r < 2  # rounds 3-4 drop the Huber kernel (cpp:160-165)
-        carry = (R, t, jnp.float32(1e-3), inl)
+        cost = rho_cost(chi2, robust, inl)
+        carry = (R, t, jnp.float32(1e-3), inl, e, chi2, cost)
         carry = jax.lax.fori_loop(
             0, n_iters, lambda i, c: gn_iter(c, robust), carry)
-        R, t, lmb, _ = carry
-        _, chi2 = chi2_of(R, t, None)
+        R, t, lmb, _, e, chi2, cost = carry
         inl = valid & (chi2 <= CHI2_TH)
-        return (R, t, lmb, inl)
+        return (R, t, lmb, inl, e, chi2, cost)
 
-    init = (R0, t0, jnp.float32(1e-3), valid)
-    R, t, _, inl = jax.lax.fori_loop(0, n_rounds, round_body, init)
+    e0, chi20 = chi2_of(R0, t0)
+    init = (R0, t0, jnp.float32(1e-3), valid, e0, chi20, jnp.float32(0.0))
+    R, t, _, inl, _, _, _ = jax.lax.fori_loop(0, n_rounds, round_body, init)
     return R, t, inl, jnp.sum(inl.astype(jnp.int32))

@@ -85,13 +85,19 @@ class TestExtractor:
         kp1 = run(jnp.asarray(img))
         noisy = img + rng.normal(0, 2.0, img.shape).astype(np.float32)
         kp2 = run(jnp.asarray(noisy))
-        v = np.asarray(kp1.valid) & np.asarray(kp2.valid)
-        # match same positions only
-        uv1, uv2 = np.asarray(kp1.uv), np.asarray(kp2.uv)
-        same = v & (np.linalg.norm(uv1 - uv2, axis=1) < 0.5)
-        assert same.sum() > 10
-        d1 = np.asarray(kp1.desc)[same]
-        d2 = np.asarray(kp2.desc)[same]
+        v1 = np.asarray(kp1.valid)
+        v2 = np.asarray(kp2.valid)
+        # match by nearest position (selection ORDER may reshuffle under
+        # noise when corner strengths tie; 1px radius allows the +-0.5px
+        # quadratic subpixel refinement to move under noise)
+        uv1 = np.asarray(kp1.uv)[v1]
+        uv2 = np.asarray(kp2.uv)[v2]
+        dmat = np.linalg.norm(uv1[:, None] - uv2[None, :], axis=-1)
+        j = dmat.argmin(axis=1)
+        ok = dmat[np.arange(len(uv1)), j] < 1.0
+        assert ok.sum() > 10
+        d1 = np.asarray(kp1.desc)[v1][ok]
+        d2 = np.asarray(kp2.desc)[v2][j[ok]]
         ham = np.array([bin(int(a ^ b)).count("1")
                         for row1, row2 in zip(d1, d2)
                         for a, b in zip(row1, row2)]).reshape(-1, 8).sum(1)
