@@ -84,6 +84,7 @@ class CubemapSLAM:
             image_hw)
         self.warp_map = None          # built lazily for fisheye input
         self._native_warp = None      # host-side C++ warp (built with map)
+        self._device_warp = None      # pallas device warp (TPU path)
         self.state = TrackState.NO_IMAGES_YET
         self.n_kf = 0                 # monotonically allocated KF slots
         self.key = jax.random.PRNGKey(seed)
@@ -115,9 +116,28 @@ class CubemapSLAM:
         """Warp a fisheye frame to the cubemap cross and track
         (main-loop warp + TrackCubemap, cubemap_lafida.cpp:143-147).
 
-        The warp runs on the host via the native C++ plan when available
-        (random gathers are issue-rate-bound on the TPU; measured 14x
-        faster on CPU threads), falling back to the fused JAX gather."""
+        On TPU the warp runs on device via the pallas tile kernels
+        (warp_tpu.py) so only the raw fisheye crosses the host->device
+        link; on CPU it runs on host threads via the native C++ plan when
+        available, falling back to the fused JAX gather."""
+        if jax.default_backend() != "cpu":
+            if self._device_warp is None:
+                try:
+                    from cubemapslam_tpu.warp_tpu import DeviceWarp
+                    self._device_warp = DeviceWarp(
+                        self.cam, self.cfg.cube_w, self.cfg.cube_h)
+                except Exception:
+                    self._device_warp = False
+            if self._device_warp:
+                faces = self._device_warp(jnp.asarray(fisheye_img))
+                fh, fw = self.cfg.cube_face_h, self.cfg.cube_face_w
+                cube = jnp.zeros((self.cfg.cube_h, self.cfg.cube_w),
+                                 jnp.float32)
+                from cubemapslam_tpu.warp_tpu import FACE_CELLS
+                for i, (cx, cy) in enumerate(FACE_CELLS):
+                    cube = jax.lax.dynamic_update_slice(
+                        cube, faces[i], (cy * fh, cx * fw))
+                return self.track_cubemap(cube, timestamp, mask)
         if self.warp_map is None:
             self.warp_map = W.build_warp_map(self.cam, self.cfg.cube_w,
                                              self.cfg.cube_h)

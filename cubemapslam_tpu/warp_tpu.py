@@ -7,20 +7,26 @@ of that cost — but XLA's per-element gather lowering makes a naive device
 warp ~112ms. These kernels restructure the reference warp (cv::remap,
 System.cpp:327-355) into TPU-shaped work over 8x128 face tiles:
 
-* Kernel H (two-pass, ~93% of tiles — rows monotone in source x):
+* Kernel H (two-pass, ~92% of tiles for Lafida — rows monotone in source x
+  with bounded row-to-row drift):
   1. vertical: g[r,c] = lerp of fisheye column c at the height Y(r,c) where
      output row r's source curve crosses column c (Catmull-Smith 2-pass;
      differs from exact bilinear only in sampling the column at the tap's
-     height instead of the pixel's — sub-intensity-level).
-     Implemented as <=23 masked selects over the (24,256) window rows.
+     height instead of the pixel's — a sub-pixel filter-kernel difference,
+     not a geometric shift: the curve positions themselves are exact).
+     Implemented as masked selects over the window rows.
   2. horizontal: resample g at x(r,u). A per-tile constant 0/1 matrix P0
-     (256->128 at base columns b[u]) rides the MXU on 8 lane-rolled copies
-     of g; precomputed per-pixel 2-tap weights over the 8 taps finish the
-     lerp. No in-kernel index builds.
-* Kernel X (exact, foldover tiles — pole regions of the up/down faces):
-  per output row, a weighted vertical one-hot contracts a TRANSPOSED
-  fisheye window on the MXU into per-column profiles V[c,u]; the horizontal
-  2-tap is a masked sublane reduction. Bit-exact bilinear.
+     (WIN_W->128 at base columns b[u]) rides the MXU on N_TAP lane-rolled
+     copies of g; precomputed per-pixel 2-tap weights over the taps finish
+     the lerp. No in-kernel index builds.
+* Kernel X (foldover tiles — pole regions of the up/down faces, plus tiles
+  whose spans exceed the H window): per output row, a weighted vertical
+  one-hot contracts a TRANSPOSED fisheye window on the MXU into per-column
+  profiles V[c,u]; the horizontal 2-tap is a masked sublane reduction.
+  Exact bilinear up to bf16 rounding of the MXU operands.
+
+Window shapes are derived from the calibration's measured tile spans at
+plan-build time, so any face size / fisheye geometry gets working kernels.
 
 All geometry (window offsets, Y-interp tables, P0, tap weights, one-hot
 indices) is baked on the host into dense per-tile tensors passed as device
@@ -43,9 +49,7 @@ from cubemapslam_tpu import camera as C
 from cubemapslam_tpu.camera import CubemapCamera
 
 TILE_H, TILE_W = 8, 128
-WIN_H, WIN_W = 24, 256      # kernel H fisheye window
-XWIN_X, XWIN_Y = 256, 256   # kernel X transposed window (x sublanes, y lanes)
-N_TAP = 8                    # horizontal taps around the base column
+N_TAP = 16                   # horizontal taps around the base column
 FACE_CELLS = ((1, 1), (0, 1), (2, 1), (1, 0), (1, 2))
 
 
@@ -68,10 +72,12 @@ class DeviceWarpPlan(NamedTuple):
     c_xl: np.ndarray    # (Tc, 8, 128) int32 horizontal tap (window-rel x)
     c_fx: np.ndarray    # (Tc, 8, 128) float32
     c_valid: np.ndarray  # (Tc, 8, 128) float32
-    # geometry
+    # geometry (window sizes derived from the calibration's tile spans)
     n_ty: int
     n_tx: int
     face_hw: Tuple[int, int]
+    win_hw: Tuple[int, int]      # kernel H window (rows, cols)
+    xwin_xy: Tuple[int, int]     # kernel X transposed window (x rows, y lanes)
     pad_hw: Tuple[int, int]      # padded fisheye (rows, cols) for kernel H
     padT_wh: Tuple[int, int]     # padded transposed fisheye (x rows, y lanes)
     src_hw: Tuple[int, int]
@@ -82,24 +88,16 @@ def build_device_warp_plan(cam: CubemapCamera, cube_w: int,
     fw, fh = cube_w // 3, cube_h // 3
     Wsrc = int(np.asarray(cam.fisheye_wh)[0])
     Hsrc = int(np.asarray(cam.fisheye_wh)[1])
-    Hp = -(-Hsrc // 8) * 8 + WIN_H
-    Wp = -(-Wsrc // 128) * 128 + WIN_W
-    HpT = -(-Wsrc // 8) * 8 + XWIN_X          # transposed rows = x
-    WpT = -(-Hsrc // 128) * 128 + XWIN_Y      # transposed lanes = y
     n_ty = -(-fh // TILE_H)
     n_tx = -(-fw // TILE_W)
 
     uu, vv = np.meshgrid(np.arange(fw, dtype=np.float32),
                          np.arange(fh, dtype=np.float32))
     T = 5 * n_ty * n_tx
-    wy = np.zeros(T, np.int32)
-    wx = np.zeros(T, np.int32)
-    yl = np.zeros((T, TILE_H, WIN_W), np.int32)
-    fyw = np.zeros((T, TILE_H, WIN_W), np.float32)
-    p0 = np.zeros((T, WIN_W, TILE_W), np.float32)
-    w8 = np.zeros((T, N_TAP, TILE_H, TILE_W), np.float32)
-    c_rows = []
 
+    # pass 1: per-face continuous source coords + global tile span maxima
+    coords = []
+    max_ys = max_xs = 8
     for f, (cx, cy) in enumerate(FACE_CELLS):
         uv = jnp.stack([jnp.asarray(uu + cx * fw),
                         jnp.asarray(vv + cy * fh)], axis=-1)
@@ -109,6 +107,40 @@ def build_device_warp_plan(cam: CubemapCamera, cube_w: int,
         y = np.clip(np.asarray(uvf[:, 1], np.float64).reshape(fh, fw),
                     0, Hsrc - 1.001)
         vmask = np.asarray(val).reshape(fh, fw)
+        coords.append((x, y, vmask))
+        for ty in range(n_ty):
+            for tx in range(n_tx):
+                r1 = min((ty + 1) * TILE_H, fh)
+                c1 = min((tx + 1) * TILE_W, fw)
+                sl = np.s_[ty * TILE_H:r1, tx * TILE_W:c1]
+                vt = vmask[sl]
+                if not vt.any():
+                    continue
+                max_ys = max(max_ys, int(y[sl][vt].max())
+                             - int(y[sl][vt].min()) + 3)
+                max_xs = max(max_xs, int(x[sl][vt].max())
+                             - int(x[sl][vt].min()) + 3)
+    # H window: sublane start 8-aligned (+7 slack), lane start 128-aligned
+    WIN_H = -(-(max_ys + 7) // 8) * 8
+    WIN_W = -(-(max_xs + 127) // 128) * 128
+    # X (transposed) window: x rows 8-aligned, y lanes 128-aligned
+    XWIN_X = -(-(max_xs + 7) // 8) * 8
+    XWIN_Y = -(-(max_ys + 127) // 128) * 128
+    Hp = -(-Hsrc // 8) * 8 + WIN_H
+    Wp = -(-Wsrc // 128) * 128 + WIN_W
+    HpT = -(-Wsrc // 8) * 8 + XWIN_X          # transposed rows = x
+    WpT = -(-Hsrc // 128) * 128 + XWIN_Y      # transposed lanes = y
+
+    wy = np.zeros(T, np.int32)
+    wx = np.zeros(T, np.int32)
+    yl = np.zeros((T, TILE_H, WIN_W), np.int32)
+    fyw = np.zeros((T, TILE_H, WIN_W), np.float32)
+    p0 = np.zeros((T, WIN_W, TILE_W), np.float32)
+    w8 = np.zeros((T, N_TAP, TILE_H, TILE_W), np.float32)
+    c_rows = []
+
+    for f, (cx, cy) in enumerate(FACE_CELLS):
+        x, y, vmask = coords[f]
         for ty in range(n_ty):
             for tx in range(n_tx):
                 t = (f * n_ty + ty) * n_tx + tx
@@ -202,16 +234,17 @@ def build_device_warp_plan(cam: CubemapCamera, cube_w: int,
         wy=wy, wx=wx, yl=yl, fy=fyw, p0=p0, w8=w8,
         c_tile=c_tile, c_wx=c_wx, c_wy=c_wy, c_yl=c_yl, c_fy=c_fy,
         c_xl=c_xl, c_fx=c_fx, c_valid=c_valid,
-        n_ty=n_ty, n_tx=n_tx, face_hw=(fh, fw), pad_hw=(Hp, Wp),
+        n_ty=n_ty, n_tx=n_tx, face_hw=(fh, fw), win_hw=(WIN_H, WIN_W),
+        xwin_xy=(XWIN_X, XWIN_Y), pad_hw=(Hp, Wp),
         padT_wh=(HpT, WpT), src_hw=(Hsrc, Wsrc))
 
 
 def _h_kernel(wy_ref, wx_ref, fish_ref, yl_ref, fy_ref, p0_ref, w8_ref,
-              out_ref):
+              out_ref, *, WIN_H, WIN_W):
     i = pl.program_id(0)
     y0 = pl.multiple_of(wy_ref[i], 8)
     x0 = pl.multiple_of(wx_ref[i], 128)
-    B = fish_ref[pl.ds(y0, WIN_H), pl.ds(x0, WIN_W)]      # (24, 256)
+    B = fish_ref[pl.ds(y0, WIN_H), pl.ds(x0, WIN_W)]
     yl = yl_ref[0]                                        # (8, 256)
     fy = fy_ref[0]
     g = jnp.zeros((TILE_H, WIN_W), jnp.float32)
@@ -229,11 +262,12 @@ def _h_kernel(wy_ref, wx_ref, fish_ref, yl_ref, fy_ref, p0_ref, w8_ref,
 
 
 def _x_kernel(ct_ref, wx_ref, wy_ref, fishT_ref, yl_ref, fy_ref, xl_ref,
-              fx_ref, v_ref, out_ref):
+              fx_ref, v_ref, tiles_ref, out_ref, *, XWIN_X, XWIN_Y):
+    del tiles_ref  # aliased to out_ref; blocks not written keep its data
     i = pl.program_id(0)
     x0 = pl.multiple_of(wx_ref[i], 8)
     y0 = pl.multiple_of(wy_ref[i], 128)
-    BT = fishT_ref[pl.ds(x0, XWIN_X), pl.ds(y0, XWIN_Y)]  # (256x, 256y)
+    BT = fishT_ref[pl.ds(x0, XWIN_X), pl.ds(y0, XWIN_Y)]
     BTb = BT.astype(jnp.bfloat16)
     ycol = jax.lax.broadcasted_iota(jnp.int32, (XWIN_Y, TILE_W), 0)
     xrow = jax.lax.broadcasted_iota(jnp.int32, (XWIN_X, TILE_W), 0)
@@ -257,14 +291,18 @@ class DeviceWarp:
     def __init__(self, cam: CubemapCamera, cube_w: int, cube_h: int):
         plan = build_device_warp_plan(cam, cube_w, cube_h)
         self.plan = plan
+        # device arrays passed as jit ARGUMENTS (embedding ~300MB of
+        # operators as jit constants blows up the compile request)
         self.args = {
             k: jnp.asarray(getattr(plan, k),
-                           jnp.bfloat16 if k == "p0" else None)
+                           jnp.bfloat16 if k in ("p0", "w8") else None)
             for k in ("wy", "wx", "yl", "fy", "p0", "w8", "c_tile", "c_wx",
                       "c_wy", "c_yl", "c_fy", "c_xl", "c_fx", "c_valid")}
+        self._jit = jax.jit(
+            lambda a, fish: warp_faces_device(plan, a, fish))
 
     def __call__(self, fisheye: jnp.ndarray) -> jnp.ndarray:
-        return warp_faces_device(self.plan, self.args, fisheye)
+        return self._jit(self.args, fisheye)
 
 
 def warp_faces_device(plan: DeviceWarpPlan, a: dict,
@@ -279,14 +317,16 @@ def warp_faces_device(plan: DeviceWarpPlan, a: dict,
     n_ty, n_tx = plan.n_ty, plan.n_tx
     fh, fw = plan.face_hw
 
+    WIN_H, WIN_W = plan.win_hw
+    XWIN_X, XWIN_Y = plan.xwin_xy
     blk = lambda i, *_: (i, 0, 0)
     tiles = pl.pallas_call(
-        _h_kernel,
+        functools.partial(_h_kernel, WIN_H=WIN_H, WIN_W=WIN_W),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(T,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, TILE_H, WIN_W), blk),
                 pl.BlockSpec((1, TILE_H, WIN_W), blk),
                 pl.BlockSpec((1, WIN_W, TILE_W), blk),
@@ -303,18 +343,19 @@ def warp_faces_device(plan: DeviceWarpPlan, a: dict,
         fishT = jnp.pad(fish32.T, ((0, HpT - Wsrc), (0, WpT - Hsrc)),
                         mode="edge")
         tiles = pl.pallas_call(
-            _x_kernel,
+            functools.partial(_x_kernel, XWIN_X=XWIN_X, XWIN_Y=XWIN_Y),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=3,
                 grid=(Tc,),
-                in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
-                + [pl.BlockSpec((1, TILE_H, TILE_W), blk)] * 5,
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+                + [pl.BlockSpec((1, TILE_H, TILE_W), blk)] * 5
+                + [pl.BlockSpec(memory_space=pltpu.ANY)],
                 out_specs=pl.BlockSpec(
                     (1, TILE_H, TILE_W),
                     lambda i, ct, wx, wy: (ct[i], 0, 0)),
             ),
             out_shape=jax.ShapeDtypeStruct((T, TILE_H, TILE_W), jnp.float32),
-            input_output_aliases={8: 0},
+            input_output_aliases={9: 0},
         )(a["c_tile"], a["c_wx"], a["c_wy"], fishT, a["c_yl"], a["c_fy"],
           a["c_xl"], a["c_fx"], a["c_valid"], tiles)
 
