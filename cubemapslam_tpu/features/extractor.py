@@ -11,8 +11,13 @@ gathers (computeOrbDescriptor cpp:79-118), coordinates scaled to level 0, and
 cubemap-face + mask culling (cpp:888-904).
 
 TPU design: every data-dependent count becomes a fixed-K masked selection.
-The FAST segment test is a bit-trick over 16 packed comparisons (VPU integer
-ops); patch work is two batched dynamic-slice gathers per keypoint.
+On TPU, detection is one pallas pass per 32-row slab (FAST strength via
+min/max doubling chains, per-cell threshold fallback, 3x3 NMS, per-cell
+top-4 through masked lane-group scans); patches are fetched by a
+many-outstanding-DMA gather kernel; orientation moments and the
+blur-folded, rotation-binned rBRIEF are MXU matmuls over the flat patches.
+The pyramid is one composed-operator matmul pair per level. A pure-XLA
+path with identical outputs (up to documented approximations) serves CPU.
 """
 
 from __future__ import annotations
@@ -468,6 +473,8 @@ def _detect_kernel(img_ref, out_ref, win, sem, *, Wp, H, W, ini_th, min_th):
     nc = Wp // _CELL
 
     # FAST maps for I rows [32k-1, 32k+33) = window rows [7, 41)
+    # (bf16 strength chains were measured at parity with f32 here — kept
+    # f32 for bit-consistency with the CPU path)
     center = w[7:41]
     ds = []
     for i, (dx, dy) in enumerate(_CIRCLE):

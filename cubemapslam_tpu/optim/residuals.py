@@ -59,6 +59,32 @@ def _proj_jac_local(cam: CubemapCamera, local: jnp.ndarray) -> jnp.ndarray:
     ], -2)
 
 
+def eval_point(cam: CubemapCamera, R: jnp.ndarray, t: jnp.ndarray,
+               Xw: jnp.ndarray, R_face: jnp.ndarray, uv_face: jnp.ndarray
+               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One shared pass: residual e, camera-frame Xc and face-local point
+    (R_face is the pre-gathered per-edge face rotation; the gather is
+    loop-invariant in LM and hoisted by the caller)."""
+    Xc = jnp.einsum("...ij,...j->...i", R, Xw) + t
+    local = jnp.einsum("...ij,...j->...i", R_face, Xc)
+    fx, fy, cx, cy = (cam.fxycxy[0], cam.fxycxy[1],
+                      cam.fxycxy[2], cam.fxycxy[3])
+    z = local[..., 2]
+    z_safe = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
+    proj = jnp.stack([local[..., 0] * fx / z_safe + cx,
+                      local[..., 1] * fy / z_safe + cy], axis=-1)
+    return uv_face - proj, Xc, local
+
+
+def pose_jac_from_state(cam: CubemapCamera, Xc: jnp.ndarray,
+                        local: jnp.ndarray, R_face: jnp.ndarray
+                        ) -> jnp.ndarray:
+    """de/dxi (...,2,6) from a cached eval_point state (no reprojection)."""
+    Jp = _proj_jac_local(cam, local)
+    JR = Jp @ R_face
+    return jnp.concatenate([-JR, JR @ hat(Xc)], axis=-1)
+
+
 def reproj_jacobians(cam: CubemapCamera, R: jnp.ndarray, t: jnp.ndarray,
                      Xw: jnp.ndarray, face: jnp.ndarray
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
