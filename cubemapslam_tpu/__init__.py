@@ -17,5 +17,16 @@ host-side orchestrator calling jitted device stages.
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# On TPU, f32 dots/einsums default to bf16-rounded operands. SLAM geometry
+# (point rotation, triangulation, normal equations, Sim3 propagation) is
+# chained and gated by pixel-level chi2 thresholds: at bf16 the map decays
+# and tracking is lost within a few keyframes (verified on-device; CPU is
+# unaffected since its default is true f32). Image-path dots that tolerate
+# quantization (descriptor operator, warp kernels) opt back into bf16
+# explicitly by casting their operands.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from cubemapslam_tpu.config import SlamConfig, load_config  # noqa: F401
 from cubemapslam_tpu.camera import CubemapCamera  # noqa: F401

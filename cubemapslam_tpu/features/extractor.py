@@ -695,6 +695,7 @@ def _angle_and_desc(raw_patches: jnp.ndarray
     ang = jnp.arctan2(mom[:, 1], mom[:, 0])
     scores = jax.lax.dot(flat.astype(jnp.bfloat16),
                          jnp.asarray(_descriptor_operator(), jnp.bfloat16),
+                         precision=jax.lax.Precision.DEFAULT,
                          preferred_element_type=jnp.float32)
     bins = jnp.mod(jnp.round(ang * (N_ROT / (2.0 * np.pi))).astype(jnp.int32),
                    N_ROT)
@@ -772,12 +773,24 @@ def extract_orb(params: OrbParams, cam: CubemapCamera, image: jnp.ndarray,
     """
     uv_all, resp_all, ang_all, lvl_all, desc_all = [], [], [], [], []
     pyr_ops = _pyramid_operators(params.level_hw)
+    img_bf = image.astype(jnp.bfloat16)
     for lv in range(params.n_levels):
         if lv == 0:
             img_l = image
         else:
+            # explicit bf16 operands keep the native MXU rate under the
+            # package-wide 'highest' default; the resulting +-0.5-intensity
+            # rounding matches the u8 pyramid quantization the reference
+            # inherits from OpenCV
             A, Bt = pyr_ops[lv - 1]
-            img_l = jnp.asarray(A) @ image @ jnp.asarray(Bt)
+            img_l = jax.lax.dot(
+                jax.lax.dot(jnp.asarray(A, jnp.bfloat16), img_bf,
+                            precision=jax.lax.Precision.DEFAULT,
+                            preferred_element_type=jnp.float32
+                            ).astype(jnp.bfloat16),
+                jnp.asarray(Bt, jnp.bfloat16),
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)
         ys, xs, resp, ang, desc = _extract_level(
             img_l, params.level_k[lv], params.cell, ini_th, min_th)
         s = params.scale_factor ** lv

@@ -128,18 +128,32 @@ def se3_log(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([rho, phi], -1)
 
 
+def mat3_apply(M: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """(...,3,3) x (...,3) -> (...,3) unrolled to lane-shaped arithmetic.
+
+    einsum/@ on batched tiny matrices lowers to grouped convolutions or
+    padded dots on TPU — pathological inside optimizer loops (and 6x worse
+    under the package-wide Precision.HIGHEST default). The unrolled form is
+    pure elementwise VPU work with one stack."""
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    return jnp.stack(
+        [M[..., 0, 0] * x + M[..., 0, 1] * y + M[..., 0, 2] * z,
+         M[..., 1, 0] * x + M[..., 1, 1] * y + M[..., 1, 2] * z,
+         M[..., 2, 0] * x + M[..., 2, 1] * y + M[..., 2, 2] * z], axis=-1)
+
+
 def se3_inverse(R: jnp.ndarray, t: jnp.ndarray):
     Rt = jnp.swapaxes(R, -1, -2)
-    return Rt, -jnp.einsum("...ij,...j->...i", Rt, t)
+    return Rt, -mat3_apply(Rt, t)
 
 
 def se3_compose(Ra, ta, Rb, tb):
     """(Ra,ta) o (Rb,tb): x -> Ra(Rb x + tb) + ta."""
-    return Ra @ Rb, jnp.einsum("...ij,...j->...i", Ra, tb) + ta
+    return Ra @ Rb, mat3_apply(Ra, tb) + ta
 
 
 def se3_apply(R, t, x):
-    return jnp.einsum("...ij,...j->...i", R, x) + t
+    return mat3_apply(R, x) + t
 
 
 # ---------------------------------------------------------------------------
@@ -248,18 +262,17 @@ def sim3_exp(xi: jnp.ndarray):
 def sim3_inverse(s, R, t):
     Rt = jnp.swapaxes(R, -1, -2)
     s_inv = 1.0 / s
-    return s_inv, Rt, -s_inv[..., None] * jnp.einsum(
-        "...ij,...j->...i", Rt, t)
+    return s_inv, Rt, -s_inv[..., None] * mat3_apply(Rt, t)
 
 
 def sim3_compose(sa, Ra, ta, sb, Rb, tb):
     """(sa,Ra,ta) o (sb,Rb,tb): x -> sa Ra (sb Rb x + tb) + ta."""
     return (sa * sb, Ra @ Rb,
-            sa[..., None] * jnp.einsum("...ij,...j->...i", Ra, tb) + ta)
+            sa[..., None] * mat3_apply(Ra, tb) + ta)
 
 
 def sim3_apply(s, R, t, x):
-    return s[..., None] * jnp.einsum("...ij,...j->...i", R, x) + t
+    return s[..., None] * mat3_apply(R, x) + t
 
 
 def sim3_log(s, R, t) -> jnp.ndarray:

@@ -52,12 +52,15 @@ def unpack_descriptors(desc: jnp.ndarray) -> jnp.ndarray:
 def hamming_matrix(bits_a: jnp.ndarray, bits_b: jnp.ndarray) -> jnp.ndarray:
     """(Na,256),(Nb,256) {0,1} -> (Na,Nb) float32 Hamming distances.
 
-    dist = |a| + |b| - 2 a.b — a single MXU matmul with exact f32
-    accumulation (all partial sums are small integers).
+    dist = |a| + |b| - 2 a.b — a single MXU matmul. bf16 operands are EXACT
+    here ({0,1} inputs, f32 accumulation) and keep the native MXU rate (the
+    package default precision is 'highest', which would decompose an f32
+    dot into multiple passes).
     """
     cross = jax.lax.dot_general(
-        bits_a, bits_b,
+        bits_a.astype(jnp.bfloat16), bits_b.astype(jnp.bfloat16),
         dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
         preferred_element_type=jnp.float32)
     na = jnp.sum(bits_a, axis=1, keepdims=True)
     nb = jnp.sum(bits_b, axis=1, keepdims=True)

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from cubemapslam_tpu.camera import CubemapCamera
-from cubemapslam_tpu.geometry import se3_exp, se3_compose
+from cubemapslam_tpu.geometry import mat3_apply, se3_exp, se3_compose
 from cubemapslam_tpu.optim.residuals import reproj_residual, reproj_jacobians
 from cubemapslam_tpu.optim.pose_opt import _huber_weight, CHI2_TH, HUBER_DELTA
 
@@ -220,7 +220,7 @@ def bundle_adjust(cam: CubemapCamera, prob: BAProblem,
         prob = lm_loop(prob, active, robust, n)
         chi2 = _chi2(cam, prob)
         # outlier cut + FOV cheirality (behind-camera points)
-        Xc = jnp.einsum("eij,ej->ei", prob.R[prob.obs_cam],
+        Xc = mat3_apply(prob.R[prob.obs_cam],
                         prob.X[prob.obs_pt]) + prob.t[prob.obs_cam]
         d = jnp.linalg.norm(Xc, axis=-1)
         in_fov = Xc[..., 2] / jnp.maximum(d, 1e-12) > cam.cos_fov_th

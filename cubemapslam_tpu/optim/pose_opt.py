@@ -74,12 +74,12 @@ def pose_optimization(cam: CubemapCamera, R0: jnp.ndarray, t0: jnp.ndarray,
         w = inv_sigma2 * jnp.where(robust, _huber_weight(chi2), 1.0)
         w = jnp.where(inl & valid, w, 0.0)
         Jp = pose_jac_from_state(cam, Xc, local, R_face)  # (N,2,6)
-        # normal equations as one (6,2N)@(2N,6) MXU dot
-        J2 = Jp.reshape(N * 2, 6)
-        w2 = jnp.repeat(w, 2)
-        JW = J2 * w2[:, None]
-        H = jax.lax.dot(JW.T, J2, precision=jax.lax.Precision.HIGHEST)
-        b = -(JW.T @ e.reshape(N * 2))
+        # normal equations as an exact-f32 outer-product reduction on the
+        # VPU: an MXU dot of this (6, 2N)@(2N, 6) shape is pathological
+        # under Precision.HIGHEST (measured ~60us per LM iteration)
+        JW = Jp * w[:, None, None]                        # (N,2,6)
+        H = jnp.sum(JW[..., :, None] * Jp[..., None, :], axis=(0, 1))
+        b = -jnp.sum(JW * e[..., None], axis=(0, 1))
         H_d = H + lm_lambda * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6)
         delta = jnp.linalg.solve(H_d, b)
         dR, dt = se3_exp(delta)

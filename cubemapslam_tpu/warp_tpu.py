@@ -256,6 +256,7 @@ def _h_kernel(wy_ref, wx_ref, fish_ref, yl_ref, fy_ref, p0_ref, w8_ref,
     for j in range(N_TAP):
         gj = pltpu.roll(g, shift=(WIN_W - j) % WIN_W, axis=1) if j else g
         Gj = jax.lax.dot(gj.astype(jnp.bfloat16), p0,
+                         precision=jax.lax.Precision.DEFAULT,
                          preferred_element_type=jnp.float32)
         acc = acc + w8_ref[0, j] * Gj
     out_ref[0] = acc
@@ -277,6 +278,7 @@ def _x_kernel(ct_ref, wx_ref, wy_ref, fishT_ref, yl_ref, fy_ref, xl_ref,
         ohy = (jnp.where(ycol == ylr, 1.0 - fyr, 0.0)
                + jnp.where(ycol == ylr + 1, fyr, 0.0))    # (256y, 128)
         V = jax.lax.dot(BTb, ohy.astype(jnp.bfloat16),
+                        precision=jax.lax.Precision.DEFAULT,
                         preferred_element_type=jnp.float32)  # (256x, 128)
         xlr = xl_ref[0, r][None, :]
         fxr = fx_ref[0, r][None, :]
