@@ -682,21 +682,33 @@ def _moment_operator() -> np.ndarray:
     return np.stack([WX.ravel(), WY.ravel()], axis=1)
 
 
+@functools.lru_cache(maxsize=1)
+def _desc_and_moment_operator() -> np.ndarray:
+    """Descriptor operator with the two moment columns appended: one bf16
+    MXU dot yields comparison scores AND (m10, m01). A separate f32 moment
+    dot is pathological under Precision.HIGHEST (2-lane output), and bf16
+    moments bound the angle error by ~0.23 deg << the 11.25 deg bin."""
+    return np.concatenate([_descriptor_operator(), _moment_operator()],
+                          axis=1)
+
+
 def _angle_and_desc(raw_patches: jnp.ndarray
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """IC angle + blur-folded rBRIEF from raw 43x43 patches, all MXU work.
 
-    The big descriptor dot runs with bf16 inputs + f32 accumulation: pixel
-    values are 0..255 (8 significand bits suffice) and the comparison
-    operator entries are Gaussian-weight sums; measured bit-identical
-    descriptors vs the f32 dot at ~4x the MXU rate."""
+    The fused dot runs with bf16 inputs + f32 accumulation: pixel values
+    are 0..255 (8 significand bits suffice) and the comparison operator
+    entries are Gaussian-weight sums; measured bit-identical descriptors
+    vs the f32 dot at ~4x the MXU rate."""
     flat = raw_patches.reshape(raw_patches.shape[0], -1)
-    mom = flat @ jnp.asarray(_moment_operator())        # (K, 2)
+    fused = jax.lax.dot(flat.astype(jnp.bfloat16),
+                        jnp.asarray(_desc_and_moment_operator(),
+                                    jnp.bfloat16),
+                        precision=jax.lax.Precision.DEFAULT,
+                        preferred_element_type=jnp.float32)
+    scores = fused[:, :N_ROT * 256]
+    mom = fused[:, N_ROT * 256:]
     ang = jnp.arctan2(mom[:, 1], mom[:, 0])
-    scores = jax.lax.dot(flat.astype(jnp.bfloat16),
-                         jnp.asarray(_descriptor_operator(), jnp.bfloat16),
-                         precision=jax.lax.Precision.DEFAULT,
-                         preferred_element_type=jnp.float32)
     bins = jnp.mod(jnp.round(ang * (N_ROT / (2.0 * np.pi))).astype(jnp.int32),
                    N_ROT)
     sc = scores.reshape(scores.shape[0], N_ROT, 256)
