@@ -10,6 +10,7 @@ camera system — the natural TPU mapping of sparse BA (SURVEY.md §7 step 7).
 
 from cubemapslam_tpu.optim.residuals import (  # noqa: F401
     project_to_face, reproj_residual, reproj_jacobians,
+    eval_point, pose_jac_from_state,
 )
 from cubemapslam_tpu.optim.pose_opt import pose_optimization  # noqa: F401
 from cubemapslam_tpu.optim.ba import bundle_adjust, BAProblem  # noqa: F401

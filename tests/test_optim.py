@@ -54,6 +54,25 @@ class TestJacobians:
             np.testing.assert_allclose(np.asarray(J_point[i]),
                                        np.asarray(Jx), atol=1e-2, rtol=1e-3)
 
+    def test_cached_state_jacobian_matches(self, lafida_cam, rng):
+        """pose_jac_from_state (the LM-loop fast path with cached
+        eval_point state) must agree with reproj_jacobians."""
+        R, t = G.se3_exp(jnp.asarray(rng.normal(size=6) * 0.3, jnp.float32))
+        Xw = jnp.asarray(rng.uniform(-2, 2, (20, 3)) + [0, 0, 4],
+                         jnp.float32)
+        pc = np.asarray(G.se3_apply(R, t, Xw))
+        face = jnp.asarray(np.asarray(C.face_from_ray(jnp.asarray(pc))))
+        uv = jnp.zeros((20, 2))
+        R_face = lafida_cam.face_R[jnp.clip(face, 0, 4)]
+        e, Xc, local = O.eval_point(lafida_cam, R, t, Xw, R_face, uv)
+        e_ref = O.reproj_residual(lafida_cam, R, t, Xw, face, uv)
+        np.testing.assert_allclose(np.asarray(e), np.asarray(e_ref),
+                                   atol=1e-4)
+        Js = O.pose_jac_from_state(lafida_cam, Xc, local, R_face)
+        J_pose, _ = O.reproj_jacobians(lafida_cam, R, t, Xw, face)
+        np.testing.assert_allclose(np.asarray(Js), np.asarray(J_pose),
+                                   atol=1e-4, rtol=1e-5)
+
 
 class TestPoseOptimization:
     def test_converges_from_perturbed_pose(self, lafida_cam, rng):
