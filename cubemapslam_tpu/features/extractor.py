@@ -23,8 +23,7 @@ path with identical outputs (up to documented approximations) serves CPU.
 from __future__ import annotations
 
 import functools
-import math
-from typing import NamedTuple, Optional, Sequence, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -108,15 +107,6 @@ def plan_levels(n_features: int, n_levels: int, scale_factor: float,
 # ---------------------------------------------------------------------------
 # FAST corner response
 # ---------------------------------------------------------------------------
-
-def _run9(bits: jnp.ndarray) -> jnp.ndarray:
-    """Any run of >=9 consecutive set bits in a circular 16-bit mask."""
-    x = bits | (bits << np.uint32(16))
-    r = x & (x >> np.uint32(1))
-    r = r & (r >> np.uint32(2))
-    r = r & (r >> np.uint32(4))
-    r = r & (x >> np.uint32(8))         # 9 consecutive set bits
-    return (r & np.uint32(0xFFFF)) != 0
 
 
 def _run9_strength(ds) -> jnp.ndarray:
@@ -229,21 +219,6 @@ def _gaussian_kernel1d(ksize: int = 7, sigma: float = 2.0) -> np.ndarray:
     return (k / k.sum()).astype(np.float32)
 
 
-def _blur(img: jnp.ndarray) -> jnp.ndarray:
-    """7x7 sigma-2 separable Gaussian (GaussianBlur, ORBExtractor.cpp:832).
-
-    Written as weighted shifted adds instead of conv_general_dilated — XLA
-    fuses the 14 shifts into one elementwise pass, while the tiny-kernel
-    conv lowering was measured ~10x slower on TPU."""
-    k = _gaussian_kernel1d()
-    out = jnp.zeros_like(img)
-    for i, w in enumerate(k):
-        out = out + float(w) * jnp.roll(img, i - 3, axis=1)
-    out2 = jnp.zeros_like(img)
-    for i, w in enumerate(k):
-        out2 = out2 + float(w) * jnp.roll(out, i - 3, axis=0)
-    return out2
-
 
 def _circular_moment_weights() -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """x/y weight grids over the radius-15 circular patch (IC_Angle)."""
@@ -254,40 +229,6 @@ def _circular_moment_weights() -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         mask.astype(np.float32)
 
 
-def _gather_patches(img: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray,
-                    radius: int) -> jnp.ndarray:
-    """Gather (2r+1)^2 patches centered at integer (ys, xs). Image is edge-
-    padded so all in-bounds keypoints produce full patches."""
-    p = 2 * radius + 1
-    padded = jnp.pad(img, radius, mode="edge")
-
-    def one(y, x):
-        return jax.lax.dynamic_slice(padded, (y, x), (p, p))
-
-    return jax.vmap(one)(ys, xs)
-
-
-def _ic_angle(patches: jnp.ndarray) -> jnp.ndarray:
-    """Intensity-centroid angle from raw 31x31 patches (IC_Angle cpp:48-75)."""
-    wx, wy, _ = _circular_moment_weights()
-    m10 = jnp.einsum("nij,ij->n", patches, jnp.asarray(wx))
-    m01 = jnp.einsum("nij,ij->n", patches, jnp.asarray(wy))
-    return jnp.arctan2(m01, m10)
-
-
-def _moment_maps(img: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Whole-image intensity-centroid moment maps via two 31x31 convolutions
-    (MXU work) — per-keypoint moments are then single-pixel gathers instead
-    of 31x31 patch gathers, which are issue-rate-bound on TPU."""
-    wx, wy, _ = _circular_moment_weights()
-    k = np.stack([wx, wy])[:, None]                     # (2,1,31,31)
-    x = img[None, None]
-    # correlation = conv with flipped kernel; wx/wy are antisymmetric, so
-    # flip = negate
-    out = jax.lax.conv_general_dilated(
-        x, -jnp.asarray(k), (1, 1), [(ORI_R, ORI_R), (ORI_R, ORI_R)])
-    return out[0, 0], out[0, 1]                         # m10, m01 maps
-
 
 def _pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
     """(N,256) {0,1} -> (N,8) uint32."""
@@ -296,51 +237,6 @@ def _pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(bits * weights[None, None, :], axis=-1, dtype=jnp.uint32)
 
 
-def _descriptors_direct(blurred: jnp.ndarray, ys: jnp.ndarray,
-                        xs: jnp.ndarray, angles: jnp.ndarray) -> jnp.ndarray:
-    """Steered rBRIEF by direct sparse gathers from the blurred level image:
-    (K, 512) samples instead of (K, 37, 37) patch extraction + in-patch
-    lookup — ~3x fewer gather elements on the TPU's slow gather path."""
-    H, W = blurred.shape
-    pat = jnp.asarray(orb_pattern(), jnp.float32)       # (256, 4)
-    ca = jnp.cos(angles)[:, None]
-    sa = jnp.sin(angles)[:, None]
-    px = jnp.concatenate([pat[:, 0], pat[:, 2]])        # (512,)
-    py = jnp.concatenate([pat[:, 1], pat[:, 3]])
-    rx = jnp.round(px[None, :] * ca - py[None, :] * sa).astype(jnp.int32)
-    ry = jnp.round(px[None, :] * sa + py[None, :] * ca).astype(jnp.int32)
-    xi = jnp.clip(xs[:, None] + rx, 0, W - 1)
-    yi = jnp.clip(ys[:, None] + ry, 0, H - 1)
-    vals = jnp.take(blurred.reshape(-1), yi * W + xi)   # (K, 512)
-    t1, t2 = vals[:, :256], vals[:, 256:]
-    return _pack_bits((t1 < t2).astype(jnp.uint32))
-
-
-def _descriptors(blur_patches: jnp.ndarray, angles: jnp.ndarray
-                 ) -> jnp.ndarray:
-    """Rotated rBRIEF over 37x37 blurred patches -> (N, 8) uint32
-    (computeOrbDescriptor, ORBExtractor.cpp:79-118)."""
-    pat = jnp.asarray(orb_pattern(), jnp.float32)      # (256, 4)
-    ca = jnp.cos(angles)[:, None]
-    sa = jnp.sin(angles)[:, None]
-
-    def rot_idx(px, py):
-        # steered sample position, rounded to nearest texel
-        x = jnp.round(px[None, :] * ca - py[None, :] * sa).astype(jnp.int32)
-        y = jnp.round(px[None, :] * sa + py[None, :] * ca).astype(jnp.int32)
-        x = jnp.clip(x + PATCH_R, 0, _PATCH - 1)
-        y = jnp.clip(y + PATCH_R, 0, _PATCH - 1)
-        return y * _PATCH + x                           # (N, 256)
-
-    flat = blur_patches.reshape(blur_patches.shape[0], -1)
-    i1 = rot_idx(pat[:, 0], pat[:, 1])
-    i2 = rot_idx(pat[:, 2], pat[:, 3])
-    t1 = jnp.take_along_axis(flat, i1, axis=1)
-    t2 = jnp.take_along_axis(flat, i2, axis=1)
-    bits = (t1 < t2).astype(jnp.uint32)                 # (N, 256)
-    bits = bits.reshape(-1, 8, 32)
-    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
-    return jnp.sum(bits * weights[None, None, :], axis=-1, dtype=jnp.uint32)
 
 
 # ---------------------------------------------------------------------------
