@@ -13,6 +13,13 @@ are pure jitted functions over fixed-shape arrays; the SLAM map is a
 preallocated array-of-structs arena with validity masks; RANSAC loops are
 batched hypothesis evaluation; the reference's thread pipeline becomes a
 host-side orchestrator calling jitted device stages.
+
+PROCESS-GLOBAL SIDE EFFECT: importing this package sets JAX's default matmul
+precision to 'highest' (see below). This changes matmul numerics/perf for any
+OTHER JAX code in the same process, and only affects jits traced AFTER the
+import. Embedders who need bf16-default matmuls elsewhere should scope their
+own code with `jax.default_matmul_precision(...)` contexts or per-call
+`precision=` arguments.
 """
 
 __version__ = "0.1.0"

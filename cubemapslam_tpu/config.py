@@ -78,14 +78,12 @@ class SlamConfig:
     min_th_fast: int = 7
     init_features_factor: int = 3  # init-mode extractor uses 3x (Tracking.cpp:96)
 
-    # --- Feature grid (Frame.h:43-45) ---
-    grid_cols: int = 50
-    grid_rows: int = 50
-
     # --- Matcher constants (ORBMatcher.cpp:42-45) ---
+    # (the reference's 5x50x50 feature grid, Frame.h:43-45, has no analog:
+    # windowed search is an angular ray gate, so no grid config exists)
     th_low: int = 50
     th_high: int = 100
-    histo_length: int = 12
+    histo_length: int = 12          # rotation-histogram bin width, degrees
 
     # --- Covisibility / graph (KeyFrame.cpp:356, Optimizer.cpp:648) ---
     covisibility_weight_th: int = 15
@@ -117,15 +115,21 @@ class SlamConfig:
     sim3_ransac_iters: int = 300    # LoopClosing.cpp:284
 
     # --- Arena capacities (fixed shapes; TPU-native addition) ---
+    # (observations live in the dense (K, n_features) table kf_obs_lm, so
+    # there are no per-KF / per-landmark observation caps to configure)
     max_keyframes: int = 512
     max_landmarks: int = 65536
-    max_obs_per_kf: int = 4096      # >= max features per keyframe
-    max_obs_per_landmark: int = 32
 
-    # --- BoW / place recognition ---
+    # --- BoW / place recognition (ORBVocabulary.h:36-37: the reference's
+    # pretrained vocab is k=10, 6 levels; ours is trained on the target
+    # domain with the configured shape. BoW matching is a dense score
+    # matmul, so there is no DBoW2 FeatureVector levels-up parameter.) ---
     vocab_branching: int = 10
     vocab_depth: int = 4
-    bow_levels_up: int = 4          # ORBVocabulary feature-vector grouping level
+    vocab_path: Optional[str] = None  # pretrained vocab .npz (VOC argument)
+    # without a pretrained vocab, the bootstrap-trained one is re-trained
+    # once on accumulated keyframe descriptors at this many live keyframes
+    vocab_retrain_keyframes: int = 24
 
     # --- Viewer / drawing (kept for config-file parity) ---
     viewer_params: Optional[dict] = None

@@ -18,6 +18,17 @@ many-outstanding-DMA gather kernel; orientation moments and the
 blur-folded, rotation-binned rBRIEF are MXU matmuls over the flat patches.
 The pyramid is one composed-operator matmul pair per level. A pure-XLA
 path with identical outputs (up to documented approximations) serves CPU.
+
+Documented approximations (TPU detect kernel vs the CPU/reference path):
+
+* Slab-boundary NMS: the kernel processes 32-row slabs with one halo row on
+  each side; the per-cell ini->min threshold fallback decision for the halo
+  rows (rows 0 and 33) is taken from THIS slab's cells even though those
+  rows belong to the neighboring slabs' cells. Cross-slab 3x3 NMS can thus
+  see a merged response the neighbor slab computes differently, so keypoints
+  within 1 px of a 32-row boundary may differ from the CPU path.
+* The kernel's detection cell size is fixed at 32 px (the CPU path honors
+  OrbParams.cell; _extract_level raises if they diverge on TPU).
 """
 
 from __future__ import annotations
@@ -588,18 +599,24 @@ def _desc_and_moment_operator() -> np.ndarray:
                           axis=1)
 
 
-def _angle_and_desc(raw_patches: jnp.ndarray
+def _angle_and_desc(raw_patches: jnp.ndarray, desc_op=None
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """IC angle + blur-folded rBRIEF from raw 43x43 patches, all MXU work.
 
     The fused dot runs with bf16 inputs + f32 accumulation: pixel values
     are 0..255 (8 significand bits suffice) and the comparison operator
     entries are Gaussian-weight sums; measured bit-identical descriptors
-    vs the f32 dot at ~4x the MXU rate."""
+    vs the f32 dot at ~4x the MXU rate.
+
+    desc_op: the fused operator as a DEVICE ARRAY argument (preferred —
+    a ~38MB bf16 tracing constant bloats every compile request over the
+    transport, the same failure class warp_tpu.py avoids by passing its
+    operators as DeviceWarp.args). Falls back to embedding the host
+    constant when None."""
     flat = raw_patches.reshape(raw_patches.shape[0], -1)
-    fused = jax.lax.dot(flat.astype(jnp.bfloat16),
-                        jnp.asarray(_desc_and_moment_operator(),
-                                    jnp.bfloat16),
+    if desc_op is None:
+        desc_op = jnp.asarray(_desc_and_moment_operator(), jnp.bfloat16)
+    fused = jax.lax.dot(flat.astype(jnp.bfloat16), desc_op,
                         precision=jax.lax.Precision.DEFAULT,
                         preferred_element_type=jnp.float32)
     scores = fused[:, :N_ROT * 256]
@@ -641,7 +658,7 @@ def _subpixel_offsets(score: jnp.ndarray, ys: jnp.ndarray,
 
 
 def _extract_level(img: jnp.ndarray, k: int, cell: int, ini_th: int,
-                   min_th: int) -> Tuple[jnp.ndarray, ...]:
+                   min_th: int, desc_op=None) -> Tuple[jnp.ndarray, ...]:
     """One pyramid level -> fixed-k (y, x, response, angle, desc)."""
     if jax.default_backend() == "cpu":
         raw_score = _fast_adaptive(img, ini_th, min_th, cell)
@@ -659,25 +676,33 @@ def _extract_level(img: jnp.ndarray, k: int, cell: int, ini_th: int,
         ys_f = ys.astype(jnp.float32) + dy
         xs_f = xs.astype(jnp.float32) + dx
     else:
+        if cell != _CELL:
+            raise ValueError(
+                f"TPU detect kernel uses a fixed cell={_CELL}; "
+                f"plan_levels(..., cell={cell}) would silently diverge "
+                f"from the CPU path")
         ys, xs, ys_f, xs_f, resp = _detect_level_tpu(img, k, ini_th, min_th)
 
     # ONE 48x48 raw-patch gather per keypoint (per-keypoint DMA kernel on
     # TPU); orientation + blurred rBRIEF are then pure MXU matmuls over the
     # flat patches (_angle_and_desc).
     raw_patches = _gather_patches_padded(img, ys, xs)
-    angles, desc = _angle_and_desc(raw_patches)
+    angles, desc = _angle_and_desc(raw_patches, desc_op)
     return ys_f, xs_f, resp, angles, desc
 
 
 def extract_orb(params: OrbParams, cam: CubemapCamera, image: jnp.ndarray,
                 mask: Optional[jnp.ndarray] = None,
-                ini_th: int = 20, min_th: int = 7) -> Keypoints:
+                ini_th: int = 20, min_th: int = 7,
+                desc_op=None) -> Keypoints:
     """Extract ORB keypoints+descriptors from a cubemap-cross image.
 
     image: (H, W) float32. mask: optional (H, W) {0,1}; keypoints on zero
     pixels are culled (ORBExtractor.cpp:888-904). Returns fixed-size
     Keypoints with validity mask. Jit with params/static shapes closed over
-    (see build_extractor).
+    (see build_extractor). desc_op: optional device-array descriptor
+    operator (see _angle_and_desc) — pass it as a jit ARGUMENT to keep the
+    ~38MB constant out of the compile request.
     """
     uv_all, resp_all, ang_all, lvl_all, desc_all = [], [], [], [], []
     pyr_ops = _pyramid_operators(params.level_hw)
@@ -700,7 +725,8 @@ def extract_orb(params: OrbParams, cam: CubemapCamera, image: jnp.ndarray,
                 precision=jax.lax.Precision.DEFAULT,
                 preferred_element_type=jnp.float32)
         ys, xs, resp, ang, desc = _extract_level(
-            img_l, params.level_k[lv], params.cell, ini_th, min_th)
+            img_l, params.level_k[lv], params.cell, ini_th, min_th,
+            desc_op)
         s = params.scale_factor ** lv
         uv0 = jnp.stack([xs.astype(jnp.float32) * s,
                          ys.astype(jnp.float32) * s], axis=-1)
@@ -732,12 +758,21 @@ def extract_orb(params: OrbParams, cam: CubemapCamera, image: jnp.ndarray,
 
 def build_extractor(cfg, cam: CubemapCamera, n_features: int,
                     image_hw: Tuple[int, int]):
-    """Return a jitted extractor specialized to one image geometry."""
+    """Return a jitted extractor specialized to one image geometry.
+
+    The fused descriptor+moment operator is uploaded once and threaded
+    through as a jit argument (not a tracing constant), keeping the compile
+    request small over the TPU transport."""
     params = plan_levels(n_features, cfg.n_levels, cfg.scale_factor, image_hw)
+    desc_op = jnp.asarray(_desc_and_moment_operator(), jnp.bfloat16)
 
     @jax.jit
-    def run(image, mask=None):
+    def run_impl(desc_op, image, mask=None):
         return extract_orb(params, cam, image, mask,
-                           ini_th=cfg.ini_th_fast, min_th=cfg.min_th_fast)
+                           ini_th=cfg.ini_th_fast, min_th=cfg.min_th_fast,
+                           desc_op=desc_op)
+
+    def run(image, mask=None):
+        return run_impl(desc_op, image, mask)
 
     return run, params

@@ -78,15 +78,19 @@ def hamming_pairs(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def rotation_consistency(angle1: jnp.ndarray, angle2: jnp.ndarray,
-                         matched: jnp.ndarray) -> jnp.ndarray:
+                         matched: jnp.ndarray,
+                         bin_deg: float = 12.0) -> jnp.ndarray:
     """Keep only matches whose angle difference falls in the 3 dominant
-    12-degree bins (ComputeThreeMaxima + filtering, ORBMatcher.cpp:905-946;
-    secondary/tertiary bins dropped when <0.1x the max bin)."""
+    histogram bins (ComputeThreeMaxima + filtering, ORBMatcher.cpp:905-946;
+    secondary/tertiary bins dropped when <0.1x the max bin). bin_deg is the
+    reference's HISTO_LENGTH (bin width in degrees, cpp:44)."""
+    import math
+    n_bins = int(math.ceil(360.0 / bin_deg))
     rot = angle1 - angle2
     rot_deg = jnp.rad2deg(rot)
     rot_deg = jnp.where(rot_deg < 0, rot_deg + 360.0, rot_deg)
-    bins = jnp.round(rot_deg / 12.0).astype(jnp.int32) % N_ROT_BINS
-    counts = jnp.zeros(N_ROT_BINS, jnp.float32).at[bins].add(
+    bins = jnp.round(rot_deg / bin_deg).astype(jnp.int32) % n_bins
+    counts = jnp.zeros(n_bins, jnp.float32).at[bins].add(
         matched.astype(jnp.float32))
     top_val, top_idx = jax.lax.top_k(counts, 3)
     keep2 = top_val[1] >= 0.1 * top_val[0]
@@ -153,7 +157,9 @@ def search_for_initialization(kp1, kp2, cam: CubemapCamera,
                               window_px: float = 100.0,
                               nn_ratio: float = 0.9,
                               check_orientation: bool = True,
-                              center_rays=None) -> MatchResult:
+                              center_rays=None,
+                              th_low: float = TH_LOW,
+                              histo_bin_deg: float = 12.0) -> MatchResult:
     """Two-view bootstrap matching (SearchForInitialization cpp:676-794):
     level-0 keypoints only, windowed search (angular here), NN ratio, TH_LOW,
     one-to-one, rotation histogram.
@@ -173,10 +179,11 @@ def search_for_initialization(kp1, kp2, cam: CubemapCamera,
     gate &= (kp1.level[:, None] == 0) & (kp2.level[None, :] == 0)
     gate &= kp1.valid[:, None] & kp2.valid[None, :]
     best_idx, best, _, second = _masked_top2(dist, gate)
-    ok = (best <= TH_LOW) & (best < nn_ratio * second)
+    ok = (best <= th_low) & (best < nn_ratio * second)
     ok = resolve_one_to_one(best_idx, best, ok, kp2.n)
     if check_orientation:
-        ok = rotation_consistency(kp1.angle, kp2.angle[best_idx], ok)
+        ok = rotation_consistency(kp1.angle, kp2.angle[best_idx], ok,
+                                  bin_deg=histo_bin_deg)
     return MatchResult(idx=best_idx, ok=ok, dist=best)
 
 
@@ -271,7 +278,9 @@ def search_for_triangulation(kp1, kp2, cam: CubemapCamera,
                              free2: Optional[jnp.ndarray] = None,
                              epipole_ray2: Optional[jnp.ndarray] = None,
                              epipole_guard_deg: float = 3.0,
-                             check_orientation: bool = True) -> MatchResult:
+                             check_orientation: bool = True,
+                             th_low: float = TH_LOW,
+                             histo_bin_deg: float = 12.0) -> MatchResult:
     """Epipolar-gated matching for new-point triangulation
     (SearchForTriangulation cpp:971-1125). The reference walks BoW-aligned
     feature groups; the TPU version computes the full gated Hamming matrix —
@@ -296,8 +305,9 @@ def search_for_triangulation(kp1, kp2, cam: CubemapCamera,
     if free2 is not None:
         gate &= free2[None, :]
     best_idx, best, _, _ = _masked_top2(dist, gate)
-    ok = best <= TH_LOW
+    ok = best <= th_low
     if check_orientation:
-        ok = rotation_consistency(kp1.angle, kp2.angle[best_idx], ok)
+        ok = rotation_consistency(kp1.angle, kp2.angle[best_idx], ok,
+                                  bin_deg=histo_bin_deg)
     ok = resolve_one_to_one(best_idx, best, ok, kp2.n)
     return MatchResult(idx=best_idx, ok=ok, dist=best)

@@ -112,17 +112,40 @@ def train_vocabulary(descriptors: np.ndarray, k: int = 10, depth: int = 3,
 
 
 def word_ids(vocab: Vocabulary, desc: jnp.ndarray) -> jnp.ndarray:
-    """(N,8) uint32 -> (N,) word ids by fixed-depth argmin-Hamming descent."""
+    """(N,8) uint32 -> (N,) word ids by fixed-depth argmin-Hamming descent.
+
+    Each level gathers only the current node's k children and compares
+    against those (N x k x 256 elementwise work) instead of computing the
+    full N x k^(l+1) Hamming matrix — at the reference-scale 10k-word vocab
+    the last level would otherwise be a 1000x larger matmul than needed."""
     bits = M.unpack_descriptors(desc)                   # (N,256)
     node = jnp.zeros(desc.shape[0], jnp.int32)
     for lvl in range(vocab.depth):
         cb = M.unpack_descriptors(vocab.centers[lvl])   # (k^(l+1),256)
-        d = M.hamming_matrix(bits, cb)                  # (N, k^(l+1))
         base = node * vocab.k
-        cols = base[:, None] + jnp.arange(vocab.k)[None, :]
-        dk = jnp.take_along_axis(d, cols, axis=1)
+        cand = cb[base[:, None] + jnp.arange(vocab.k)[None, :]]  # (N,k,256)
+        dk = jnp.sum(jnp.abs(cand - bits[:, None, :]), axis=-1)
         node = (base + jnp.argmin(dk, axis=1).astype(jnp.int32))
     return node
+
+
+def save_vocabulary(vocab: Vocabulary, path: str) -> None:
+    """Persist a trained vocabulary as one npz (the ORBvoc.txt analog;
+    consumable as the VOC argument of apps/run_sequence)."""
+    data = {f"centers_{i}": np.asarray(c)
+            for i, c in enumerate(vocab.centers)}
+    data["idf"] = np.asarray(vocab.idf)
+    data["k"] = np.int64(vocab.k)
+    data["depth"] = np.int64(vocab.depth)
+    np.savez_compressed(path, **data)
+
+
+def load_vocabulary(path: str) -> Vocabulary:
+    z = np.load(path)
+    depth = int(z["depth"])
+    centers = tuple(jnp.asarray(z[f"centers_{i}"]) for i in range(depth))
+    return Vocabulary(centers=centers, idf=jnp.asarray(z["idf"]),
+                      k=int(z["k"]), depth=depth)
 
 
 def bow_vector(vocab: Vocabulary, desc: jnp.ndarray,

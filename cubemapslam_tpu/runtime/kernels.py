@@ -35,6 +35,10 @@ class TrackingKernels:
         self.level_sigma2 = jnp.asarray(cfg.level_sigma2, jnp.float32)
         self.inv_level_sigma2 = 1.0 / self.level_sigma2
         self.log_scale = float(jnp.log(jnp.float32(cfg.scale_factor)))
+        # matcher thresholds from config (ORBMatcher.cpp:42-45 constants)
+        self.th_low = float(cfg.th_low)
+        self.th_high = float(cfg.th_high)
+        self.histo_bin = float(cfg.histo_length)
 
     # ------------------------------------------------------------------
     # Initialization (CubemapInitialization + CreateInitialMapCubemap,
@@ -46,7 +50,8 @@ class TrackingKernels:
                                  prev_rays):
         res = M.search_for_initialization(
             kp_ref, kp_cur, self.cam, window_px=100.0, nn_ratio=0.9,
-            center_rays=prev_rays)
+            center_rays=prev_rays, th_low=self.th_low,
+            histo_bin_deg=self.histo_bin)
         # vbPrevMatched update: matched ref features re-center their search
         # window on the matched current direction (cpp:791-793)
         new_prev = jnp.where(res.ok[:, None], kp_cur.rays[res.idx],
@@ -105,7 +110,7 @@ class TrackingKernels:
         res = M.search_by_projection(
             Xc, arena.lm_desc[jnp.maximum(lm, 0)], last_kp_level, has,
             kp_cur, self.cam, self.scale_factors, radius,
-            level_lo_off=-1, level_hi_off=1, th=M.TH_HIGH,
+            level_lo_off=-1, level_hi_off=1, th=self.th_high,
             query_angles=None, check_orientation=False)
         # per-current-kp landmark assoc; scatter-max so losing queries
         # (which carry -1) never clobber a winner's entry
@@ -131,9 +136,10 @@ class TrackingKernels:
         dist = M.hamming_matrix(bits_kf, bits_cur)
         gate = kf_has[:, None] & kp_cur.valid[None, :]
         best_idx, best, _, second = M._masked_top2(dist, gate)
-        ok = (best <= M.TH_LOW) & (best < 0.7 * second)
+        ok = (best <= self.th_low) & (best < 0.7 * second)
         ok = M.rotation_consistency(arena.kf_angle[ref_kf],
-                                    kp_cur.angle[best_idx], ok)
+                                    kp_cur.angle[best_idx], ok,
+                                    bin_deg=self.histo_bin)
         ok = M.resolve_one_to_one(best_idx, best, ok, kp_cur.n)
         assoc = jnp.full((kp_cur.n,), SM.NO_LM, jnp.int32)
         assoc = assoc.at[best_idx].max(
@@ -227,7 +233,7 @@ class TrackingKernels:
         res = M.search_by_projection(
             Xc, arena.lm_desc[sel], lvl, query_ok, kp_cur, self.cam,
             self.scale_factors, radius, level_lo_off=-1, level_hi_off=0,
-            th=M.TH_HIGH, nn_ratio=0.8, target_free=target_free)
+            th=self.th_high, nn_ratio=0.8, target_free=target_free)
         assoc_new = assoc.at[res.idx].max(
             jnp.where(res.ok, sel, SM.NO_LM).astype(jnp.int32))
         # counter updates (IncreaseVisible / IncreaseFound,

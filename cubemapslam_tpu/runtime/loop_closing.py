@@ -56,9 +56,10 @@ class LoopKernels:
                                 M.unpack_descriptors(d2))
         gate = has1[:, None] & has2[None, :]
         best_idx, best, _, second = M._masked_top2(dist, gate)
-        ok = (best <= M.TH_LOW) & (best < 0.75 * second)
+        ok = (best <= self.cfg.th_low) & (best < 0.75 * second)
         ok = M.rotation_consistency(arena.kf_angle[k1],
-                                    arena.kf_angle[k2][best_idx], ok)
+                                    arena.kf_angle[k2][best_idx], ok,
+                                    bin_deg=float(self.cfg.histo_length))
         ok = M.resolve_one_to_one(best_idx, best, ok, arena.n_feat)
         return best_idx, ok
 

@@ -54,6 +54,8 @@ class MappingKernels:
         self.scale_factors = jnp.asarray(cfg.scale_factors, jnp.float32)
         self.level_sigma2 = jnp.asarray(cfg.level_sigma2, jnp.float32)
         self.inv_level_sigma2 = 1.0 / self.level_sigma2
+        self.th_low = float(cfg.th_low)
+        self.histo_bin = float(cfg.histo_length)
 
     # ------------------------------------------------------------------
     # MapPointCulling (LocalMapping.cpp:175-206)
@@ -100,7 +102,8 @@ class MappingKernels:
             self.level_sigma2[jnp.clip(kp2.level, 0,
                                        self.cfg.n_levels - 1)],
             free1=free1, free2=free2, epipole_ray2=e2,
-            epipole_guard_deg=1.0)
+            epipole_guard_deg=1.0, th_low=self.th_low,
+            histo_bin_deg=self.histo_bin)
         rays1 = kp1.rays
         rays2 = kp2.rays[res.idx]
         X1 = triangulate_rays(rays1, rays2, R21, t21)     # frame-1 coords
@@ -210,7 +213,7 @@ class MappingKernels:
         res = M.search_by_projection(
             Xc, arena.lm_desc[lm_s], lvl, has & in_band, kp_dst,
             self.cam, self.scale_factors, 3.0,
-            level_lo_off=-1, level_hi_off=1, th=M.TH_LOW)
+            level_lo_off=-1, level_hi_off=1, th=self.th_low)
         # matched target feature j: either free (add obs) or holds another
         # landmark (merge: fewer-obs landmark redirected to the other)
         j = res.idx

@@ -97,7 +97,15 @@ class CubemapSLAM:
         self.last_kf_frame_id = 0
         self.localization_only = False
         self.loop_closing_enabled = True
-        self.vocab = None             # trained on first map (ORBvoc analog)
+        # Vocabulary (ORBvoc analog): either pretrained (cfg.vocab_path, the
+        # reference's VOC argument) or trained on the fly — bootstrap
+        # descriptors first, re-trained once on accumulated keyframe
+        # descriptors (see _maybe_retrain_vocab). Shape honors
+        # cfg.vocab_branching / cfg.vocab_depth.
+        self.vocab = None
+        self._vocab_is_bootstrap = False
+        if cfg.vocab_path:
+            self.vocab = PL.load_vocabulary(cfg.vocab_path)
         self.bow_table = None         # (K, n_words) dense BoW rows
         self.loop_closer = LoopCloser(cfg, self.cam, self.kernels,
                                       self.mapping)
@@ -126,7 +134,14 @@ class CubemapSLAM:
                     from cubemapslam_tpu.warp_tpu import DeviceWarp
                     self._device_warp = DeviceWarp(
                         self.cam, self.cfg.cube_w, self.cfg.cube_h)
-                except Exception:
+                except Exception as e:
+                    # visible downgrade: plan-build asserts (tap-range /
+                    # window-span violations on a new calibration) are real
+                    # regressions, not a silent perf knob
+                    import warnings
+                    warnings.warn(
+                        f"DeviceWarp build failed ({e!r}); falling back "
+                        f"to the host warp path", RuntimeWarning)
                     self._device_warp = False
             if self._device_warp:
                 faces = self._device_warp(jnp.asarray(fisheye_img))
@@ -287,12 +302,16 @@ class CubemapSLAM:
         self.velocity = None
         self.state = TrackState.OK
         # train the vocabulary on the bootstrap descriptors (the reference
-        # loads a pretrained ORBvoc.txt; ours is domain-trained on the fly)
+        # loads a pretrained ORBvoc.txt; ours is domain-trained on the fly
+        # at the configured k/depth, then re-trained once more data exists)
         if self.vocab is None:
             desc = np.concatenate([
                 np.asarray(ref_red.desc)[np.asarray(ref_red.valid)],
                 np.asarray(kp.desc)[np.asarray(kp.valid)]])
-            self.vocab = PL.train_vocabulary(desc, k=8, depth=3)
+            self.vocab = PL.train_vocabulary(
+                desc, k=self.cfg.vocab_branching,
+                depth=self.cfg.vocab_depth)
+            self._vocab_is_bootstrap = True
         self.bow_table = jnp.zeros((self.cfg.max_keyframes,
                                     self.vocab.n_words))
         self._update_bow(0, ref_red)
@@ -398,6 +417,29 @@ class CubemapSLAM:
         row = PL.bow_vector(self.vocab, kp.desc, kp.valid)
         self.bow_table = self.bow_table.at[slot].set(row)
 
+    def _maybe_retrain_vocab(self):
+        """One-time vocabulary re-train on accumulated keyframe descriptors
+        (the bootstrap vocab saw only 2 frames; the reference's offline-
+        trained vocab sees a whole corpus, ORBVocabulary.h:36-37). The BoW
+        table is recomputed for every live keyframe afterwards."""
+        if not self._vocab_is_bootstrap:
+            return
+        valid = np.asarray(self.arena.kf_valid)
+        if int(valid.sum()) < self.cfg.vocab_retrain_keyframes:
+            return
+        desc = np.asarray(self.arena.kf_desc)[valid]
+        kp_ok = np.asarray(self.arena.kf_kp_valid)[valid]
+        train = desc.reshape(-1, 8)[kp_ok.reshape(-1)]
+        self.vocab = PL.train_vocabulary(
+            train, k=self.cfg.vocab_branching, depth=self.cfg.vocab_depth)
+        self._vocab_is_bootstrap = False
+        self.bow_table = self._recompute_bow_table()
+
+    def _recompute_bow_table(self):
+        rows = jax.vmap(lambda d, v: PL.bow_vector(self.vocab, d, v))(
+            self.arena.kf_desc, self.arena.kf_kp_valid)
+        return jnp.where(self.arena.kf_valid[:, None], rows, 0.0)
+
     # ------------------------------------------------------------------
     # Relocalization (Tracking::Relocalization, Tracking.cpp:990-1151)
     # ------------------------------------------------------------------
@@ -474,6 +516,7 @@ class CubemapSLAM:
         self.last.ref_kf = slot
         self.last.rel_R = jnp.eye(3)
         self.last.rel_t = jnp.zeros(3)
+        self._maybe_retrain_vocab()
         self._local_mapping(slot)
         if self.loop_closing_enabled:
             if self.loop_closer.process(self, slot):

@@ -4,15 +4,20 @@ Re-design of the reference PnPsolver (src/PnPsolver.cpp, 1232 LoC): Lepetit
 EPnP adapted to bearing rays — the M-matrix rows are cross products of the
 bearing with the barycentric control-point combination instead of normalized
 image coordinates (fill_M_with_bearing, cpp:447-462); 4 control points via
-PCA (cpp:385-419); camera-frame control points from the null space of MᵀM
-with the beta-1 scale recovered by inter-control-point distance preservation;
-R,t by Horn alignment (estimate_R_and_t, cpp:580-638). Inliers are cubemap
-reprojections within chi2*sigma2 (CheckInliers cpp:312-343), with a final
-refit on the best inlier set (Refine cpp:263-309).
+PCA (cpp:385-419); camera-frame control points from the 4-vector null space
+of MᵀM with betas recovered by the three EPnP approximations
+(find_betas_approx_{1,2,3}, cpp:678-788) each refined by 5 Gauss-Newton
+iterations on the inter-control-point distance residuals (gauss_newton +
+compute_A_and_b_gauss_newton, cpp:790-869); R,t by Horn alignment per
+candidate (estimate_R_and_t, cpp:580-638), best candidate by reprojection.
+Inliers are cubemap reprojections within chi2*sigma2 (CheckInliers
+cpp:312-343), with a final refit on the best inlier set (Refine cpp:263-309).
 
-TPU design: every RANSAC hypothesis (minimal 6-point set) is solved in one
-vmapped batch of 12x12 eigendecompositions; the sequential 5-iteration
-round-robin of Tracking::Relocalization becomes a single all-iterations call.
+TPU design: every RANSAC hypothesis (minimal 4-point set, PnPsolver.h ctor
+default mRansacMinSet=4 used by Tracking.cpp:1035) is solved in one vmapped
+batch of 12x12 eigendecompositions; the three beta candidates are evaluated
+in-line and the sequential 5-iteration round-robin of
+Tracking::Relocalization becomes a single all-iterations call.
 """
 
 from __future__ import annotations
@@ -28,7 +33,12 @@ from cubemapslam_tpu.geometry import hat
 from cubemapslam_tpu.solvers.horn import horn_alignment
 from cubemapslam_tpu.solvers.sampling import sample_minimal_sets
 
-MIN_SET = 6
+MIN_SET = 4
+
+# symmetric products beta_a*beta_b indexed like the reference's L_6x10
+# columns: [b11 b12 b22 b13 b23 b33 b14 b24 b34 b44]
+_SYM_PAIRS = ((0, 0), (0, 1), (1, 1), (0, 2), (1, 2), (2, 2),
+              (0, 3), (1, 3), (2, 3), (3, 3))
 
 
 def _control_points(pw: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
@@ -54,11 +64,64 @@ def _barycentric(pw: jnp.ndarray, cw: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([a0, a123], axis=1)
 
 
-def _solve_epnp(pw: jnp.ndarray, bearings: jnp.ndarray, w: jnp.ndarray):
-    """One EPnP solve over weighted correspondences.
+def _lstsq(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Small damped least squares via normal equations."""
+    AtA = A.T @ A + 1e-9 * jnp.eye(A.shape[1])
+    return jnp.linalg.solve(AtA, A.T @ b)
+
+
+def _betas_candidates(L: jnp.ndarray, rho: jnp.ndarray) -> jnp.ndarray:
+    """The three EPnP beta initializations from the (6,10) product matrix
+    (find_betas_approx_{1,2,3}, PnPsolver.cpp:678-788). Returns (3,4)."""
+    # approx 1: unknowns [b11 b12 b13 b14]
+    x = _lstsq(L[:, jnp.asarray([0, 1, 3, 6])], rho)
+    b0 = jnp.sqrt(jnp.abs(x[0]))
+    sgn = jnp.where(x[0] < 0, -1.0, 1.0)
+    safe = jnp.where(b0 > 0, b0, 1.0)
+    beta1 = jnp.stack([b0, sgn * x[1] / safe, sgn * x[2] / safe,
+                       sgn * x[3] / safe])
+
+    # approx 2: unknowns [b11 b12 b22]
+    y = _lstsq(L[:, jnp.asarray([0, 1, 2])], rho)
+    b0 = jnp.sqrt(jnp.abs(y[0]))
+    b1 = jnp.where(y[0] * y[2] > 0, jnp.sqrt(jnp.abs(y[2])), 0.0)
+    b0 = jnp.where(y[1] < 0, -b0, b0)   # keep b0*b1 sign consistent w/ b12
+    beta2 = jnp.stack([b0, b1, jnp.zeros(()), jnp.zeros(())])
+
+    # approx 3: unknowns [b11 b12 b22 b13 b23]
+    z = _lstsq(L[:, jnp.asarray([0, 1, 2, 3, 4])], rho)
+    b0 = jnp.sqrt(jnp.abs(z[0]))
+    b1 = jnp.where(z[0] * z[2] > 0, jnp.sqrt(jnp.abs(z[2])), 0.0)
+    b0s = jnp.where(z[1] < 0, -b0, b0)
+    safe = jnp.where(b0 > 0, b0, 1.0)
+    b2 = z[3] / jnp.where(b0s != 0, b0s, 1.0)
+    beta3 = jnp.stack([b0s, b1, b2, jnp.zeros(())])
+    return jnp.stack([beta1, beta2, beta3])
+
+
+def _gauss_newton(dv: jnp.ndarray, rho: jnp.ndarray, beta: jnp.ndarray,
+                  n_iters: int = 5) -> jnp.ndarray:
+    """Refine betas on the distance-preservation residuals
+    r_p = ||sum_a beta_a dv[a,p]||^2 - rho_p (gauss_newton, cpp:829-869)."""
+    def step(b, _):
+        q = jnp.einsum("a,apk->pk", b, dv)          # (6,3)
+        r = jnp.sum(q * q, axis=-1) - rho           # (6,)
+        J = 2.0 * jnp.einsum("pk,apk->pa", q, dv)   # (6,4)
+        JtJ = J.T @ J + 1e-9 * jnp.eye(4)
+        db = jnp.linalg.solve(JtJ, -J.T @ r)
+        return b + db, None
+    beta, _ = jax.lax.scan(step, beta, None, length=n_iters)
+    return beta
+
+
+def _solve_epnp_candidates(pw: jnp.ndarray, bearings: jnp.ndarray,
+                           w: jnp.ndarray):
+    """One EPnP solve over weighted correspondences, returning the THREE
+    refined beta candidates' poses.
 
     pw (N,3) world points, bearings (N,3) unit rays in camera frame,
-    w (N,) {0,1} selection weights. Returns (R, t) world->camera.
+    w (N,) {0,1} selection weights. Returns (R (3,3,3), t (3,3))
+    world->camera, one per beta candidate.
     """
     cw = _control_points(pw, w)
     alphas = _barycentric(pw, cw)             # (N,4)
@@ -68,23 +131,32 @@ def _solve_epnp(pw: jnp.ndarray, bearings: jnp.ndarray, w: jnp.ndarray):
     M = M.reshape(-1, 12) * jnp.repeat(w, 3)[:, None]
     MtM = M.T @ M
     _, evecs = jnp.linalg.eigh(MtM)
-    v = evecs[:, 0].reshape(4, 3)             # null-space control points
-    # beta from distance preservation between control points (cpp:678-727)
-    iu, ju = jnp.triu_indices(4, 1)
-    dc = v[iu] - v[ju]
-    dw_ = cw[iu] - cw[ju]
-    num = jnp.sum(jnp.linalg.norm(dc, axis=1)
-                  * jnp.linalg.norm(dw_, axis=1))
-    den = jnp.maximum(jnp.sum(jnp.sum(dc * dc, axis=1)), 1e-12)
-    beta = num / den
-    cc = beta * v
-    pc = alphas @ cc                          # (N,3) camera-frame points
-    # sign: bearings should point toward the points (majority vote)
-    sgn = jnp.sign(jnp.sum(jnp.sum(pc * bearings, axis=1) * w))
-    sgn = jnp.where(sgn == 0, 1.0, sgn)
-    pc = pc * sgn
-    _, R, t = horn_alignment(pc, pw, weights=w, fix_scale=True)
-    return R, t
+    V = evecs[:, :4]                          # 4-dim null-space basis
+    v = V.T.reshape(4, 4, 3)                  # v[a] = control points of basis a
+    iu, ju = jnp.triu_indices(4, 1)           # 6 control-point pairs
+    dv = v[:, iu] - v[:, ju]                  # (4,6,3)
+    rho = jnp.sum((cw[iu] - cw[ju]) ** 2, axis=-1)  # (6,)
+    # L (6,10) over symmetric beta products
+    cols = []
+    for a, b in _SYM_PAIRS:
+        f = 1.0 if a == b else 2.0
+        cols.append(f * jnp.sum(dv[a] * dv[b], axis=-1))
+    L = jnp.stack(cols, axis=1)
+
+    betas0 = _betas_candidates(L, rho)        # (3,4)
+    betas = jax.vmap(lambda b: _gauss_newton(dv, rho, b))(betas0)
+
+    def pose_of(beta):
+        cc = (V @ beta).reshape(4, 3)
+        pc = alphas @ cc                      # (N,3) camera-frame points
+        # sign: bearings should point toward the points (majority vote)
+        sgn = jnp.sign(jnp.sum(jnp.sum(pc * bearings, axis=1) * w))
+        sgn = jnp.where(sgn == 0, 1.0, sgn)
+        pc = pc * sgn
+        _, R, t = horn_alignment(pc, pw, weights=w, fix_scale=True)
+        return R, t
+
+    return jax.vmap(pose_of)(betas)
 
 
 class PnPResult(NamedTuple):
@@ -103,6 +175,16 @@ def _count_inliers(cam: CubemapCamera, R, t, pw, uv, max_err2, valid):
     return inl, jnp.sum(inl.astype(jnp.int32))
 
 
+def _best_candidate(cam, Rs, ts, pw, uv, max_err2, valid):
+    """Evaluate the 3 beta-candidate poses; keep the max-inlier one
+    (the reference picks by reprojection error, cpp:540-578)."""
+    inls, ns = jax.vmap(
+        lambda R, t: _count_inliers(cam, R, t, pw, uv, max_err2, valid))(
+        Rs, ts)
+    b = jnp.argmax(ns)
+    return Rs[b], ts[b], inls[b], ns[b]
+
+
 def pnp_ransac(cam: CubemapCamera, key: jax.Array,
                pw: jnp.ndarray, bearings: jnp.ndarray, uv: jnp.ndarray,
                level_sigma2: jnp.ndarray, valid: jnp.ndarray,
@@ -118,17 +200,16 @@ def pnp_ransac(cam: CubemapCamera, key: jax.Array,
 
     def one(idx):
         w = jnp.zeros(pw.shape[0]).at[idx].set(1.0) * valid
-        R, t = _solve_epnp(pw, bearings, w)
-        inl, n = _count_inliers(cam, R, t, pw, uv, max_err2, valid)
-        return R, t, inl, n
+        Rs, ts = _solve_epnp_candidates(pw, bearings, w)
+        return _best_candidate(cam, Rs, ts, pw, uv, max_err2, valid)
 
     Rs, ts, inls, ns = jax.vmap(one)(sets)
     best = jnp.argmax(ns)
     # refine on the best inlier set (Refine, cpp:263-309)
     w_ref = inls[best].astype(jnp.float32)
-    R_ref, t_ref = _solve_epnp(pw, bearings, w_ref)
-    inl_ref, n_ref = _count_inliers(cam, R_ref, t_ref, pw, uv, max_err2,
-                                    valid)
+    Rc, tc = _solve_epnp_candidates(pw, bearings, w_ref)
+    R_ref, t_ref, inl_ref, n_ref = _best_candidate(
+        cam, Rc, tc, pw, uv, max_err2, valid)
     use_ref = n_ref >= ns[best]
     R = jnp.where(use_ref, R_ref, Rs[best])
     t = jnp.where(use_ref, t_ref, ts[best])

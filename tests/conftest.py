@@ -44,8 +44,7 @@ def lafida_cfg() -> SlamConfig:
 def small_cfg() -> SlamConfig:
     """Tiny configuration for fast unit tests."""
     return SlamConfig(cube_face_w=128, cube_face_h=128, n_features=256,
-                      n_levels=4, max_keyframes=16, max_landmarks=2048,
-                      max_obs_per_kf=512)
+                      n_levels=4, max_keyframes=16, max_landmarks=2048)
 
 
 @pytest.fixture(scope="session")

@@ -101,6 +101,33 @@ class TestPnP:
         assert np.linalg.norm(np.asarray(res.t) - t) < 0.05
         assert int(res.n_inliers) > 80
 
+    def test_recovers_pose_at_60pct_outliers(self, lafida_cam, rng):
+        """The minimal-set-4 + betas_approx_{1,2,3} + Gauss-Newton solver
+        (PnPsolver.cpp:678-869; ctor minSet=4 via Tracking.cpp:1035) must
+        survive 60% outliers: a clean 4-sample has p=0.4^4=2.6% per
+        iteration (>99.9% over 300), where the previous 6-point beta-1
+        solver had p=0.4^6=0.4% (~71%) and failed routinely."""
+        pts = synth_scene(rng, 150)
+        R = np.asarray(G.so3_exp(jnp.asarray([0.15, 0.25, -0.2])))
+        t = np.array([-0.3, 0.1, 0.5], np.float32)
+        rays, uv, valid = project_scene(lafida_cam, pts, R, t)
+        n_out = 90  # 60%
+        out_idx = rng.choice(np.where(valid)[0], n_out, replace=False)
+        perm = rng.permutation(out_idx)
+        rays[out_idx] = rays[perm]
+        uv[out_idx] = uv[perm]
+        sig2 = np.ones(150, np.float32)
+        res = S.pnp_ransac(lafida_cam, jax.random.PRNGKey(3),
+                           jnp.asarray(pts), jnp.asarray(rays),
+                           jnp.asarray(uv), jnp.asarray(sig2),
+                           jnp.asarray(valid), n_iters=300)
+        assert bool(res.success)
+        dR = np.asarray(res.R) @ R.T
+        ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+        assert ang < 1.0
+        assert np.linalg.norm(np.asarray(res.t) - t) < 0.05
+        assert int(res.n_inliers) > 45
+
 
 class TestSim3:
     def test_recovers_similarity(self, lafida_cam, rng):
