@@ -32,10 +32,13 @@ from cubemapslam_tpu.solvers.sim3 import sim3_ransac
 
 class LoopKernels:
     def __init__(self, cfg, cam):
+        import math
         self.cfg = cfg
         self.cam = cam
         self.level_sigma2 = jnp.asarray(cfg.level_sigma2, jnp.float32)
         self.inv_level_sigma2 = 1.0 / self.level_sigma2
+        self.scale_factors = jnp.asarray(cfg.scale_factors, jnp.float32)
+        self.log_scale = math.log(cfg.scale_factor)
 
     @functools.partial(jax.jit, static_argnums=0)
     def match_kf_pair(self, arena: SM.MapArena, k1, k2):
@@ -62,6 +65,69 @@ class LoopKernels:
                                     bin_deg=float(self.cfg.histo_length))
         ok = M.resolve_one_to_one(best_idx, best, ok, arena.n_feat)
         return best_idx, ok
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def search_by_sim3(self, arena: SM.MapArena, k1, k2,
+                       s12, R12, t12, idx2_in, ok_in):
+        """Widen KF-KF landmark matches using a computed Sim3
+        (SearchBySim3, ORBMatcher.cpp:1365-1586 — mutual-agreement variant,
+        without the line-1507 z-component typo): project each KF's landmarks
+        into the other through S12/S21 (radius 7.5*scale at the predicted
+        level, TH_HIGH) and accept bidirectional agreements; merge them into
+        the existing per-k1-feature matches (already-matched features are
+        excluded from both directions, cpp:1392-1404)."""
+        from cubemapslam_tpu.runtime.mapping import _kf_keypoints
+        N = arena.n_feat
+        kp1 = _kf_keypoints(arena, k1)
+        kp2 = _kf_keypoints(arena, k2)
+        lm1 = arena.kf_obs_lm[k1]
+        lm2 = arena.kf_obs_lm[k2]
+        has1 = (lm1 >= 0) & arena.kf_kp_valid[k1]
+        has1 &= jnp.where(lm1 >= 0, arena.lm_valid[jnp.maximum(lm1, 0)],
+                          False)
+        has2 = (lm2 >= 0) & arena.kf_kp_valid[k2]
+        has2 &= jnp.where(lm2 >= 0, arena.lm_valid[jnp.maximum(lm2, 0)],
+                          False)
+        # already-matched exclusions from the input match set
+        am1 = ok_in
+        am2 = jnp.zeros(N, bool).at[idx2_in].max(ok_in)
+        lm1s = jnp.maximum(lm1, 0)
+        lm2s = jnp.maximum(lm2, 0)
+
+        # direction A: KF2 landmarks -> KF1 features (queries are kf2 feats)
+        X2c2 = G.se3_apply(arena.kf_R[k2], arena.kf_t[k2],
+                           arena.lm_pos[lm2s])
+        X2c1 = G.sim3_apply(s12, R12, t12, X2c2)
+        d_a = jnp.linalg.norm(X2c1, axis=-1)
+        lvl_a = SM.predict_scale(d_a, arena.lm_max_dist[lm2s],
+                                 self.log_scale, self.cfg.n_levels)
+        resA = M.search_by_projection(
+            X2c1, arena.lm_desc[lm2s], lvl_a, has2 & ~am2, kp1,
+            self.cam, self.scale_factors, 7.5,
+            level_lo_off=-1, level_hi_off=0, th=float(self.cfg.th_high))
+        # direction B: KF1 landmarks -> KF2 features
+        S21 = G.sim3_inverse(s12, R12, t12)
+        X1c1 = G.se3_apply(arena.kf_R[k1], arena.kf_t[k1],
+                           arena.lm_pos[lm1s])
+        X1c2 = G.sim3_apply(*S21, X1c1)
+        d_b = jnp.linalg.norm(X1c2, axis=-1)
+        lvl_b = SM.predict_scale(d_b, arena.lm_max_dist[lm1s],
+                                 self.log_scale, self.cfg.n_levels)
+        resB = M.search_by_projection(
+            X1c2, arena.lm_desc[lm1s], lvl_b, has1 & ~am1, kp2,
+            self.cam, self.scale_factors, 7.5,
+            level_lo_off=-1, level_hi_off=0, th=float(self.cfg.th_high))
+        # agreement (cpp:1567-1584): kf1 feature i is accepted when
+        # direction B matched it to kf2 feature j AND direction A matched
+        # that same j back to i. resA is indexed by kf2 feature (query j),
+        # resA.idx[j] = kf1 feature it matched.
+        a_match_of_j = jnp.where(resA.ok, resA.idx, -1)   # kf2 j -> kf1 i
+        agree = resB.ok & (a_match_of_j[resB.idx] ==
+                           jnp.arange(N, dtype=jnp.int32))
+        idx2_out = jnp.where(ok_in, idx2_in,
+                             jnp.where(agree, resB.idx, 0))
+        ok_out = ok_in | agree
+        return idx2_out, ok_out
 
     @functools.partial(jax.jit, static_argnums=0)
     def sim3_candidates(self, arena: SM.MapArena, k1, k2, idx2, ok):
@@ -96,19 +162,97 @@ class LoopKernels:
             1.0 / s1, 1.0 / s2, ok, th2=10.0, fix_scale=False)
 
     @functools.partial(jax.jit, static_argnums=0)
+    def scw_project(self, arena: SM.MapArena, k_cur, k_loop,
+                    s_cl, R_cl, t_cl, idx2, ok):
+        """Project the loop-neighborhood landmarks through the corrected
+        S_cw into the current keyframe and count total loop matches — the
+        >=40 acceptance gate (LoopClosing.cpp:340-399; projection variant
+        ORBMatcher.cpp:796-903: radius 10*scale at the predicted level,
+        TH_LOW). Returns (per-current-feature loop-landmark id or -1,
+        total match count)."""
+        from cubemapslam_tpu.runtime.mapping import _kf_keypoints
+        K, N, L = arena.n_kf_cap, arena.n_feat, arena.n_lm_cap
+        covis = SM.covisibility_matrix(arena)
+        nb = (covis[k_loop] >= self.cfg.covisibility_weight_th) \
+            & arena.kf_valid
+        nb = nb.at[k_loop].set(True)
+        # loop landmark set: union of the neighborhood's observations
+        obs = arena.kf_obs_lm
+        obs_ok = (obs >= 0) & arena.kf_kp_valid & nb[:, None]
+        member = jnp.zeros(L + 1, bool).at[
+            jnp.where(obs_ok, obs, L)].set(True)[:-1]
+        member &= arena.lm_valid
+        # existing matches from the refined Sim3 set: current feature i ->
+        # loop-KF feature idx2[i] -> its landmark
+        lm_loop_row = arena.kf_obs_lm[k_loop]
+        cur_match = jnp.where(ok, lm_loop_row[idx2], SM.NO_LM)
+        cur_match = jnp.where(
+            (cur_match >= 0)
+            & arena.lm_valid[jnp.maximum(cur_match, 0)],
+            cur_match, SM.NO_LM)
+        already = jnp.zeros(L + 1, bool).at[
+            jnp.where(cur_match >= 0, cur_match, L)].set(True)[:-1]
+        # corrected S_cw = S_cl o T_loop_w
+        S_cw = G.sim3_compose(
+            s_cl, R_cl, t_cl,
+            jnp.ones(()), arena.kf_R[k_loop], arena.kf_t[k_loop])
+        Xc = G.sim3_apply(*S_cw, arena.lm_pos)          # (L,3)
+        d = jnp.linalg.norm(Xc, axis=-1)
+        lvl = SM.predict_scale(d, arena.lm_max_dist,
+                               self.log_scale, self.cfg.n_levels)
+        kp_cur = _kf_keypoints(arena, k_cur)
+        target_free = cur_match < 0
+        res = M.search_by_projection(
+            Xc, arena.lm_desc, lvl, member & ~already, kp_cur,
+            self.cam, self.scale_factors, 10.0,
+            level_lo_off=-1, level_hi_off=0, th=float(self.cfg.th_low),
+            target_free=target_free)
+        loop_assoc = cur_match.at[res.idx].max(
+            jnp.where(res.ok, jnp.arange(L, dtype=jnp.int32), SM.NO_LM))
+        total = jnp.sum((loop_assoc >= 0).astype(jnp.int32))
+        return loop_assoc, total
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def loop_fuse(self, arena: SM.MapArena, k_cur, loop_assoc):
+        """Fuse the matched loop landmarks into the current keyframe
+        (CorrectLoop, LoopClosing.cpp:519-536): a current feature holding a
+        different landmark has it REPLACED by the loop landmark (the loop
+        point survives, MapPoint::Replace semantics); a free feature gains
+        the observation."""
+        L = arena.n_lm_cap
+        row = arena.kf_obs_lm[k_cur]
+        has_loop = loop_assoc >= 0
+        new_row = jnp.where(has_loop, loop_assoc, row)
+        obs = arena.kf_obs_lm.at[k_cur].set(new_row)
+        merge = has_loop & (row >= 0) & (row != loop_assoc)
+        loser = jnp.maximum(row, 0)
+        winner = jnp.maximum(loop_assoc, 0)
+        redirect = jnp.arange(L, dtype=jnp.int32)
+        redirect = redirect.at[jnp.where(merge, loser, 0)].set(
+            jnp.where(merge, winner, redirect[0]))
+        dead = jnp.zeros(L, bool).at[jnp.where(merge, loser, 0)].set(merge)
+        arena = arena._replace(kf_obs_lm=obs,
+                               lm_valid=arena.lm_valid & ~dead)
+        return SM.apply_redirect(arena, redirect)
+
+    @functools.partial(jax.jit, static_argnums=0)
     def propagate_and_pose_graph(self, arena: SM.MapArena,
                                  k_cur, k_loop,
                                  s_cl, R_cl, t_cl,
-                                 covis_th: jnp.ndarray,
+                                 neigh_pre: jnp.ndarray,
                                  loop_i, loop_j, loop_valid):
         """CorrectLoop core (LoopClosing.cpp:442-584 +
         OptimizeEssentialGraph): seed the current KF with the corrected Sim3
-        S_cw = S_cl * T_loop_w, propagate through its covisible set, run the
+        S_cw = S_cl * T_lw, propagate through its covisible set, run the
         essential-graph optimization over loop + chain + covisibility edges,
         recover SE3 poses and remap all landmarks.
 
         (s_cl, R_cl, t_cl): Sim3 mapping loop-KF camera frame -> current-KF
-        camera frame. loop_i/j: previous loop edges (fixed-size, masked).
+        camera frame. neigh_pre: (K,) bool — the current KF's covisible set
+        measured BEFORE loop fusion (mvpCurrentConnectedKFs): loop fusion
+        links the current KF to the loop side, and propagating the
+        correction into that side would corrupt it. loop_i/j: previous loop
+        edges (fixed-size, masked).
         """
         K = arena.n_kf_cap
         ones = jnp.ones(K)
@@ -119,9 +263,10 @@ class LoopKernels:
         # corrected Sim3 of the current KF: S_cw = S_cl ∘ T_lw
         S_lw = (jnp.ones(()), arena.kf_R[k_loop], arena.kf_t[k_loop])
         S_cw_corr = G.sim3_compose(s_cl, R_cl, t_cl, *S_lw)
-        # propagate to covisible KFs of k_cur: S_iw_corr = (T_ic) ∘ S_cw_corr
+        # propagate to the PRE-FUSION covisible KFs of k_cur:
+        # S_iw_corr = (T_ic) ∘ S_cw_corr
         covis = SM.covisibility_matrix(arena)
-        neigh = (covis[k_cur] >= covis_th) & arena.kf_valid
+        neigh = neigh_pre & arena.kf_valid
         neigh = neigh.at[k_cur].set(True)
         T_cw_inv = G.se3_inverse(arena.kf_R[k_cur], arena.kf_t[k_cur])
         R_ic = jnp.einsum("kij,jl->kil", arena.kf_R, T_cw_inv[0])
@@ -137,8 +282,16 @@ class LoopKernels:
         t_v = jnp.where(neigh[:, None], S_iw_corr[2], t_v)
 
         # remap landmarks of the corrected neighborhood through
-        # S_old -> S_corr (LoopClosing.cpp:462-500): owner = first KF
-        own = jnp.clip(arena.lm_first_kf, 0, K - 1)
+        # S_old -> S_corr (LoopClosing.cpp:462-500). Owner = the landmark's
+        # REFERENCE keyframe: the first live KF still observing it (the
+        # reference remaps via mpRefKF; the creator may have been culled or
+        # sit outside the corrected set), falling back to the creator.
+        seg, live = SM._flat_obs(arena)
+        kf_of = jnp.repeat(jnp.arange(K, dtype=jnp.int32), arena.n_feat)
+        ref_raw = jnp.full(arena.n_lm_cap + 1, K, jnp.int32).at[seg].min(
+            jnp.where(live, kf_of, K))[:-1]
+        own = jnp.where(ref_raw < K, ref_raw,
+                        jnp.clip(arena.lm_first_kf, 0, K - 1))
         owned_by_neigh = neigh[own] & arena.lm_valid
         p_cam = G.se3_apply(arena.kf_R[own], arena.kf_t[own], arena.lm_pos)
         S_inv = G.sim3_inverse(S_iw_corr[0][own], S_iw_corr[1][own],
@@ -146,20 +299,22 @@ class LoopKernels:
         lm_new = G.sim3_apply(*S_inv, p_cam)
         lm_pos = jnp.where(owned_by_neigh[:, None], lm_new, arena.lm_pos)
 
-        # ----- essential graph edges -----
-        # chain edges (spanning-tree substitute): (k, k+1) for valid slots
+        # ----- essential graph edges (Optimizer.cpp:700-780) -----
+        # chain edges (spanning-tree substitute; consecutive KFs are
+        # covisible by construction): temporal successor of each valid slot
         idx = jnp.arange(K, dtype=jnp.int32)
         chain_i = idx
         chain_j = jnp.minimum(idx + 1, K - 1)
         chain_ok = arena.kf_valid & arena.kf_valid[chain_j] & (idx + 1 < K)
-        # covisibility edges >= essential_graph_min_weight (upper triangle)
-        cw = covis * (covis >= self.cfg.essential_graph_min_weight)
-        # take top-4 strong covis partners per KF to bound edge count
-        cw_val, cw_j = jax.lax.top_k(cw, 4)
-        cov_i = jnp.repeat(idx, 4)
-        cov_j = cw_j.reshape(-1).astype(jnp.int32)
-        cov_ok = (cw_val.reshape(-1) > 0) & arena.kf_valid[cov_i] \
-            & arena.kf_valid[cov_j] & (cov_i < cov_j)
+        # ALL covisibility edges with weight >= essential_graph_min_weight
+        # (minFeat=100): the full upper triangle, masked — the reference
+        # inserts every such pair, not a per-KF top-k
+        cov_i = jnp.repeat(idx, K)
+        cov_j = jnp.tile(idx, K)
+        cov_w = covis.reshape(-1)
+        cov_ok = ((cov_w >= self.cfg.essential_graph_min_weight)
+                  & arena.kf_valid[cov_i] & arena.kf_valid[cov_j]
+                  & (cov_i < cov_j))
         # the new loop edge
         new_i = jnp.asarray([k_cur], jnp.int32)
         new_j = jnp.asarray([k_loop], jnp.int32)
@@ -169,28 +324,44 @@ class LoopKernels:
         e_j = jnp.concatenate([chain_j, cov_j, loop_j, new_j])
         e_ok = jnp.concatenate([chain_ok, cov_ok, loop_valid, new_ok])
 
-        # measurements S_ji from the SEEDED vertices (corrected where known)
-        def meas(i, j):
-            Si = (s_v[i], R_v[i], t_v[j * 0 + i])
-            Sj = (s_v[j], R_v[j], t_v[j])
-            return G.sim3_compose(*Sj, *G.sim3_inverse(*Si))
-
-        # loop-ish edges measure with corrected seeds; chain/covis edges
-        # measure with the ORIGINAL (pre-correction) relative poses so the
-        # graph pulls the loop shut (Optimizer.cpp:700-780 semantics)
+        # Measurement selection (Optimizer.cpp:636-780 semantics): edges
+        # WITHIN the corrected neighborhood or within the untouched rest
+        # measure the ORIGINAL relative poses (NonCorrectedSim3) so local
+        # structure is preserved; edges CROSSING the boundary are loop
+        # connections (created by loop fusion) and measure the relative pose
+        # of the SEEDED vertices (CorrectedSim3), pulling the loop shut.
         def meas_orig(i, j):
             Si = (jnp.ones(()), arena.kf_R[i], arena.kf_t[i])
             Sj = (jnp.ones(()), arena.kf_R[j], arena.kf_t[j])
             return G.sim3_compose(*Sj, *G.sim3_inverse(*Si))
 
+        def meas_seed(i, j):
+            Si = (s_v[i], R_v[i], t_v[i])
+            Sj = (s_v[j], R_v[j], t_v[j])
+            return G.sim3_compose(*Sj, *G.sim3_inverse(*Si))
+
         m_orig = jax.vmap(meas_orig)(e_i, e_j)
+        m_seed = jax.vmap(meas_seed)(e_i, e_j)
+        # only COVISIBILITY edges crossing the boundary are loop
+        # connections; the temporal chain crossing the boundary (the drift
+        # path into the corrected region) keeps its original measurement so
+        # the correction distributes along it instead of snapping at it
+        n_chain = chain_i.shape[0]
+        n_cov = cov_i.shape[0]
+        is_covis = jnp.zeros(e_i.shape[0], bool).at[
+            n_chain:n_chain + n_cov].set(True)
+        cross = is_covis & (neigh[e_i] != neigh[e_j])
+        ms = jnp.where(cross, m_seed[0], m_orig[0])
+        mR = jnp.where(cross[:, None, None], m_seed[1], m_orig[1])
+        mt = jnp.where(cross[:, None], m_seed[2], m_orig[2])
         # the new loop edge measurement: S_ji between loop and current from
-        # the computed Sim3: S_loop_cur = S_cl^-1 (maps cur->loop)
+        # the computed Sim3: S_loop_cur = S_cl^-1 (maps cur->loop); equals
+        # the seeded cross measurement, set explicitly for clarity
         S_lc = G.sim3_inverse(s_cl, R_cl, t_cl)
         n_edges = e_i.shape[0]
-        ms = m_orig[0].at[n_edges - 1].set(S_lc[0])
-        mR = m_orig[1].at[n_edges - 1].set(S_lc[1])
-        mt = m_orig[2].at[n_edges - 1].set(S_lc[2])
+        ms = ms.at[n_edges - 1].set(S_lc[0])
+        mR = mR.at[n_edges - 1].set(S_lc[1])
+        mt = mt.at[n_edges - 1].set(S_lc[2])
 
         fixed = jnp.zeros(K, bool).at[k_loop].set(True)
         s_o, R_o, t_o = optimize_essential_graph(
@@ -299,11 +470,35 @@ class LoopCloser:
                           fix_scale=False, min_inliers=20)
         if not bool(res.success):
             return False
+        # widen the match set with the RANSAC Sim3 before refinement
+        # (SearchBySim3 pass, LoopClosing.cpp:330-339)
+        idx2, ok_wide = self.k.search_by_sim3(
+            arena, jnp.int32(k_cur), jnp.int32(k_loop),
+            res.s12, res.R12, res.t12, idx2, ok & res.inliers)
         s, R, t, inl, n_inl = self.k.refine_sim3(
             arena, jnp.int32(k_cur), jnp.int32(k_loop), idx2,
-            ok & res.inliers, res.s12, res.R12, res.t12)
+            ok_wide, res.s12, res.R12, res.t12)
         if int(n_inl) < 20:
             return False
+        # Scw-projection acceptance: project the loop neighborhood's
+        # landmarks into the current KF through the corrected Scw and
+        # require >=40 total matches (LoopClosing.cpp:340-399)
+        loop_assoc, total = self.k.scw_project(
+            arena, jnp.int32(k_cur), jnp.int32(k_loop), s, R, t,
+            idx2, ok_wide & inl)
+        if int(total) < 40:
+            return False
+        # the correction neighborhood must be measured BEFORE fusion
+        # (mvpCurrentConnectedKFs, LoopClosing.cpp:442-444)
+        covis_pre = SM.covisibility_matrix(arena)
+        neigh_pre = (covis_pre[k_cur]
+                     >= self.cfg.covisibility_weight_th) & arena.kf_valid
+        # fuse matched loop landmarks into the current KF (the loop point
+        # replaces the current one, LoopClosing.cpp:519-536) BEFORE the
+        # pose graph, so the covisibility edges it creates participate
+        # (the reference's LoopConnections)
+        arena = self.k.loop_fuse(arena, jnp.int32(k_cur), loop_assoc)
+        system.arena = arena
         # correct the loop
         max_prev = 16
         li = np.zeros(max_prev, np.int32)
@@ -313,8 +508,7 @@ class LoopCloser:
             li[n], lj[n], lv[n] = a, b, True
         system.arena = self.k.propagate_and_pose_graph(
             arena, jnp.int32(k_cur), jnp.int32(k_loop), s, R, t,
-            jnp.int32(self.cfg.covisibility_weight_th),
-            jnp.asarray(li), jnp.asarray(lj), jnp.asarray(lv))
+            neigh_pre, jnp.asarray(li), jnp.asarray(lj), jnp.asarray(lv))
         self.loop_edges.append((k_cur, k_loop))
         # fuse duplicated landmarks around the loop (SearchAndFuse analog)
         system.arena = self.mapping.fuse_pair(system.arena,

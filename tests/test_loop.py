@@ -18,7 +18,7 @@ from cubemapslam_tpu.runtime.mapping import MappingKernels
 from cubemapslam_tpu.runtime.system import CubemapSLAM, TrackState
 from cubemapslam_tpu.warp import fov_mask
 
-from test_e2e import make_world, render
+from cubemapslam_tpu.synth import Renderer, make_world
 
 
 def cfg_small():
@@ -38,6 +38,7 @@ class TestRelocalization:
         slam.loop_closing_enabled = False
         mask = fov_mask(slam.cam, cfg.cube_w, cfg.cube_h)
         pts, patches = make_world(rng, n=1200)
+        ren = Renderer(slam.cam, cfg, "cubemap")
         poses = []
         for k in range(10):
             R = np.asarray(G.so3_exp(jnp.asarray([0.0, 0.004 * k, 0.0],
@@ -46,7 +47,7 @@ class TestRelocalization:
             poses.append((R, -R @ t_wc))
         est = {}
         for k, (R, t) in enumerate(poses):
-            img = render(slam.cam, cfg, pts, patches, R, t)
+            img = ren.render(pts, patches, R, t)
             T = slam.track_cubemap(jnp.asarray(img), k * 0.1, mask=mask)
             if T is not None:
                 est[k] = T
@@ -60,7 +61,7 @@ class TestRelocalization:
                                mask=mask)
         assert slam.state == TrackState.LOST
         # replay a known view -> relocalization
-        img = render(slam.cam, cfg, pts, patches, *poses[6])
+        img = ren.render(pts, patches, *poses[6])
         T = slam.track_cubemap(jnp.asarray(img), 2.0, mask=mask)
         assert slam.state == TrackState.OK
         assert T is not None
