@@ -288,8 +288,7 @@ class LoopKernels:
         # sit outside the corrected set), falling back to the creator.
         seg, live = SM._flat_obs(arena)
         kf_of = jnp.repeat(jnp.arange(K, dtype=jnp.int32), arena.n_feat)
-        ref_raw = jnp.full(arena.n_lm_cap + 1, K, jnp.int32).at[seg].min(
-            jnp.where(live, kf_of, K))[:-1]
+        ref_raw = SM.reference_keyframes(arena, seg, live, kf_of)
         own = jnp.where(ref_raw < K, ref_raw,
                         jnp.clip(arena.lm_first_kf, 0, K - 1))
         owned_by_neigh = neigh[own] & arena.lm_valid
@@ -301,11 +300,17 @@ class LoopKernels:
 
         # ----- essential graph edges (Optimizer.cpp:700-780) -----
         # chain edges (spanning-tree substitute; consecutive KFs are
-        # covisible by construction): temporal successor of each valid slot
+        # covisible by construction), in TEMPORAL order: keyframe slots are
+        # recycled, so successors are found by sorting valid slots by
+        # frame id, not by slot index
         idx = jnp.arange(K, dtype=jnp.int32)
-        chain_i = idx
-        chain_j = jnp.minimum(idx + 1, K - 1)
-        chain_ok = arena.kf_valid & arena.kf_valid[chain_j] & (idx + 1 < K)
+        ordkey = jnp.where(arena.kf_valid, arena.kf_frame_id,
+                           jnp.iinfo(jnp.int32).max)
+        order = jnp.argsort(ordkey).astype(jnp.int32)
+        chain_i = order
+        chain_j = jnp.roll(order, -1)
+        chain_ok = (arena.kf_valid[chain_i] & arena.kf_valid[chain_j]
+                    & (idx + 1 < K))
         # ALL covisibility edges with weight >= essential_graph_min_weight
         # (minFeat=100): the full upper triangle, masked — the reference
         # inserts every such pair, not a per-KF top-k
@@ -395,12 +400,12 @@ class LoopCloser:
         self.mapping = mapping
         self.consistency_th = 3       # mnCovisibilityConsistencyTh (cpp:43)
         self.consistent_groups: List[Tuple[Set[int], int]] = []
-        self.last_loop_kf = -1
+        self.last_loop_counter = -100  # keyframe COUNTER at the last loop
         self.loop_edges: List[Tuple[int, int]] = []
 
     def reset(self):
         self.consistent_groups = []
-        self.last_loop_kf = -1
+        self.last_loop_counter = -100
         self.loop_edges = []
 
     def process(self, system, slot: int) -> bool:
@@ -408,7 +413,9 @@ class LoopCloser:
         Returns True if a loop was closed."""
         cfg = self.cfg
         arena = system.arena
-        if system.n_kf < 10 or slot - self.last_loop_kf < 10:
+        # >=10 keyframes total and since the last loop (LoopClosing.cpp:
+        # 110-118) — measured on the monotonic counter, slots are recycled
+        if system.n_kf < 10 or system.n_kf - self.last_loop_counter < 10:
             return False
         covis_np = np.asarray(SM.covisibility_matrix(arena))
         neighbors = set(np.where(
@@ -450,7 +457,7 @@ class LoopCloser:
         # ComputeSim3 against consistent candidates (cpp:230-399)
         for c in enough:
             if self._try_close(system, slot, int(c)):
-                self.last_loop_kf = slot
+                self.last_loop_counter = system.n_kf
                 self.consistent_groups = []
                 return True
         return False

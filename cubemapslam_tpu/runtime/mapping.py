@@ -72,7 +72,7 @@ class MappingKernels:
         cnt = SM.observation_counts(arena)
         ratio = arena.lm_found.astype(jnp.float32) / jnp.maximum(
             arena.lm_visible.astype(jnp.float32), 1.0)
-        age = current_kf_count - 1 - arena.lm_first_kf  # in keyframes
+        age = current_kf_count - 1 - arena.lm_birth  # in keyframes (counter)
         probation = age <= 3
         bad = arena.lm_valid & probation & (
             (ratio < self.cfg.mp_found_ratio_th)
@@ -168,6 +168,8 @@ class MappingKernels:
         lm_pos = pad(arena.lm_pos).at[slot].set(Xw)[:-1]
         lm_valid = pad(arena.lm_valid).at[slot].set(can)[:-1]
         lm_first_kf = pad(arena.lm_first_kf).at[slot].set(
+            jnp.asarray(k_new, jnp.int32))[:-1]
+        lm_birth = pad(arena.lm_birth).at[slot].set(
             jnp.asarray(kf_counter, jnp.int32))[:-1]
         lm_first_frame = pad(arena.lm_first_frame).at[slot].set(
             jnp.asarray(frame_id, jnp.int32))[:-1]
@@ -185,8 +187,9 @@ class MappingKernels:
         obs = obs.at[k_nb].set(row_nb)
         return arena._replace(
             lm_pos=lm_pos, lm_valid=lm_valid, lm_first_kf=lm_first_kf,
-            lm_first_frame=lm_first_frame, lm_visible=lm_visible,
-            lm_found=lm_found, kf_obs_lm=obs), jnp.sum(can.astype(jnp.int32))
+            lm_birth=lm_birth, lm_first_frame=lm_first_frame,
+            lm_visible=lm_visible, lm_found=lm_found,
+            kf_obs_lm=obs), jnp.sum(can.astype(jnp.int32))
 
     # ------------------------------------------------------------------
     # SearchInNeighbors / Fuse (LocalMapping.cpp:388-466,

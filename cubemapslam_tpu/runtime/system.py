@@ -86,7 +86,13 @@ class CubemapSLAM:
         self._native_warp = None      # host-side C++ warp (built with map)
         self._device_warp = None      # pallas device warp (TPU path)
         self.state = TrackState.NO_IMAGES_YET
-        self.n_kf = 0                 # monotonically allocated KF slots
+        # n_kf is the MONOTONIC keyframe counter (mnId analog): landmark
+        # ages and loop spacing use it. Arena slots are recycled: culled
+        # slots return to a free pool (the reference erases KeyFrames and
+        # lets the map grow unbounded, KeyFrame.cpp:456-570; fixed arenas
+        # must recycle instead of silently refusing keyframes at the cap).
+        self.n_kf = 0
+        self.arena_full_refusals = 0  # KF refusals due to a full arena
         self.key = jax.random.PRNGKey(seed)
         self.last = FrameState()
         self.init_ref = FrameState()  # initialization reference frame
@@ -394,7 +400,9 @@ class CubemapSLAM:
         self.state = TrackState.LOST
         # keep last frame for potential relocalization
         self.metrics.append({"frame": fid, "inliers": 0, "matches": 0})
-        if self.n_kf <= 5:
+        # reset-if-lost-early uses the LIVE keyframe count
+        # (KeyFramesInMap()<=5, Tracking.cpp:296-299)
+        if int(jnp.sum(self.arena.kf_valid)) <= 5:
             self.reset()
 
     def reset(self):
@@ -491,9 +499,15 @@ class CubemapSLAM:
     # Keyframe decision + creation (Tracking.cpp:721-792)
     # ------------------------------------------------------------------
 
+    def _free_kf_slot(self) -> int:
+        """First free arena slot, or -1 when the arena is full (culling is
+        the only way slots free up — mirrored from KeyFrame::SetBadFlag
+        recycling, KeyFrame.cpp:456-570)."""
+        valid = np.asarray(self.arena.kf_valid)
+        free = np.where(~valid)[0]
+        return int(free[0]) if len(free) else -1
+
     def _need_new_keyframe(self, n_inliers: int) -> bool:
-        if self.n_kf >= self.cfg.max_keyframes - 1:
-            return False
         n_ref = int(jnp.sum(
             (self.arena.kf_obs_lm[self.ref_kf] >= 0)
             & self.arena.kf_kp_valid[self.ref_kf]))
@@ -502,10 +516,22 @@ class CubemapSLAM:
         c1b = frames_since >= 0             # mMinFrames quirk: always true
         c2 = (n_inliers < n_ref * self.cfg.keyframe_ref_ratio
               and n_inliers > 15)
-        return bool((c1a or c1b) and c2)
+        want = bool((c1a or c1b) and c2)
+        if want and self._free_kf_slot() < 0:
+            # arena truly full (even culling freed nothing): refuse loudly
+            self.arena_full_refusals += 1
+            if self.arena_full_refusals == 1:
+                import warnings
+                warnings.warn(
+                    f"keyframe arena full ({self.cfg.max_keyframes} slots, "
+                    f"none culled) — refusing new keyframes; raise "
+                    f"max_keyframes", RuntimeWarning)
+            return False
+        return want
 
     def _create_keyframe(self, kp, assoc, outlier, R, t, fid, ts):
-        slot = self.n_kf
+        slot = self._free_kf_slot()
+        assert slot >= 0
         self.arena = self.kernels.insert_keyframe(
             self.arena, slot, kp, assoc, outlier, R, t, fid, ts)
         self.n_kf += 1
@@ -571,14 +597,17 @@ class CubemapSLAM:
 
     def keyframe_trajectory(self) -> List[Tuple[float, np.ndarray,
                                                 np.ndarray]]:
-        """(timestamp, quat_xyzw, t_wc) per good keyframe, TUM convention
+        """(timestamp, quat_xyzw, t_wc) per good keyframe in temporal order
+        (slots are recycled, so order by frame id), TUM convention
         (camera-to-world)."""
         out = []
         valid = np.asarray(self.arena.kf_valid)
         Rs = np.asarray(self.arena.kf_R)
         tss = np.asarray(self.arena.kf_timestamp)
         ts_ = np.asarray(self.arena.kf_t)
-        for k in range(self.n_kf):
+        fids = np.asarray(self.arena.kf_frame_id)
+        order = np.argsort(np.where(valid, fids, np.iinfo(np.int32).max))
+        for k in order:
             if not valid[k]:
                 continue
             Rwc = Rs[k].T

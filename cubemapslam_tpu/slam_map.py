@@ -59,7 +59,10 @@ class MapArena(NamedTuple):
     lm_max_dist: jnp.ndarray   # (L,)
     lm_visible: jnp.ndarray    # (L,) int32  (IncreaseVisible)
     lm_found: jnp.ndarray      # (L,) int32  (IncreaseFound)
-    lm_first_kf: jnp.ndarray   # (L,) int32 creating keyframe
+    lm_first_kf: jnp.ndarray   # (L,) int32 creating keyframe SLOT
+    lm_birth: jnp.ndarray      # (L,) int32 monotonic keyframe counter at
+                               # creation (keyframe slots are recycled, so
+                               # ages must use the counter, not the slot)
     lm_first_frame: jnp.ndarray  # (L,) int32 creating frame id
 
     @property
@@ -97,6 +100,7 @@ def make_arena(max_kf: int, n_feat: int, max_lm: int) -> MapArena:
         lm_visible=jnp.ones(L, jnp.int32),
         lm_found=jnp.ones(L, jnp.int32),
         lm_first_kf=jnp.full(L, -1, jnp.int32),
+        lm_birth=jnp.full(L, -1, jnp.int32),
         lm_first_frame=jnp.full(L, -1, jnp.int32),
     )
 
@@ -115,6 +119,22 @@ def _flat_obs(arena: MapArena):
     live &= jnp.where(lm >= 0, arena.lm_valid[jnp.maximum(lm, 0)], False)
     seg = jnp.where(live, lm, arena.n_lm_cap)
     return seg, live
+
+
+def reference_keyframes(arena: MapArena, seg, live, kf_idx) -> jnp.ndarray:
+    """(L,) slot of each landmark's reference keyframe: the temporally
+    FIRST live keyframe still observing it (mpRefKF semantics,
+    MapPoint.cpp:118-135). K (= n_kf_cap) marks 'no observer'. Temporal
+    order is by kf_frame_id — slots are recycled, so slot order is not
+    creation order."""
+    K = arena.n_kf_cap
+    # pack (frame_id, slot) so seg-min picks the earliest frame id and
+    # breaks ties by slot; frame ids stay < 2^31 / K
+    key = arena.kf_frame_id[kf_idx] * K + kf_idx
+    big = jnp.iinfo(jnp.int32).max
+    best = jnp.full(arena.n_lm_cap + 1, big, jnp.int32).at[seg].min(
+        jnp.where(live, key, big))[:-1]
+    return jnp.where(best < big, best % K, K)
 
 
 def observation_counts(arena: MapArena) -> jnp.ndarray:
@@ -166,15 +186,14 @@ def update_landmark_stats(arena: MapArena,
 
     # depth band from the reference keyframe's distance and level
     # (UpdateNormalAndDepth cpp:360-371): maxDist = dist*scale^level,
-    # minDist = maxDist / scale^(nLevels-1). The reference KF is the first
-    # keyframe that STILL observes the landmark — the reference reassigns
-    # mpRefKF when the creating KF is erased (MapPoint.cpp:118-135);
-    # freezing it on the creator leaves stale bands once that KF is culled
-    # or its observation removed by BA.
-    ref_kf_raw = jnp.full(L + 1, K, jnp.int32).at[seg].min(
-        jnp.where(live, kf_idx, K))
-    has_ref = ref_kf_raw[:-1] < K
-    ref_kf = jnp.where(has_ref, ref_kf_raw[:-1],
+    # minDist = maxDist / scale^(nLevels-1). The reference KF is the
+    # TEMPORALLY first keyframe that STILL observes the landmark — the
+    # reference reassigns mpRefKF when the creating KF is erased
+    # (MapPoint.cpp:118-135). Keyframe slots are recycled, so "first" is
+    # by frame id, not slot index: pack (frame_id, slot) into one int key.
+    ref_kf_raw = reference_keyframes(arena, seg, live, kf_idx)
+    has_ref = ref_kf_raw < K
+    ref_kf = jnp.where(has_ref, ref_kf_raw,
                        jnp.clip(arena.lm_first_kf, 0, K - 1))
     d_ref = jnp.linalg.norm(
         arena.lm_pos - Ow[ref_kf], axis=-1)

@@ -9,7 +9,7 @@ from cubemapslam_tpu.runtime.system import CubemapSLAM, TrackState
 from cubemapslam_tpu.viz import Viewer
 from cubemapslam_tpu.warp import fov_mask
 
-from test_e2e import make_world, render, trajectory_poses
+from cubemapslam_tpu.synth import Renderer, make_world, forward_trajectory
 from test_loop import cfg_small
 
 
@@ -21,11 +21,12 @@ class TestSerializeAndViz:
         slam.loop_closing_enabled = False
         mask = fov_mask(slam.cam, cfg.cube_w, cfg.cube_h)
         pts, patches = make_world(rng, n=1200)
-        poses = trajectory_poses(10)
+        poses = forward_trajectory(10)
+        ren = Renderer(slam.cam, cfg, "cubemap")
         viewer = Viewer(slam, str(tmp_path / "viz"), every_n=5)
         imgs = []
         for k, (R, t) in enumerate(poses):
-            img = render(slam.cam, cfg, pts, patches, R, t)
+            img = ren.render(pts, patches, R, t)
             imgs.append(img)
             slam.track_cubemap(jnp.asarray(img), k * 0.1, mask=mask)
             viewer.tick(img)
