@@ -102,6 +102,11 @@ class CubemapSLAM:
         self.frame_id = 0
         self.last_kf_frame_id = 0
         self.localization_only = False
+        # mbVO (Tracking.h / Tracking.cpp:207-277): in localization mode,
+        # True when the last frame tracked <10 MAP landmarks — the system
+        # is doing visual odometry on frame-to-frame matches and attempts
+        # relocalization every frame, preferring the reloc hypothesis
+        self.mb_vo = False
         self.loop_closing_enabled = True
         # Vocabulary (ORBvoc analog): either pretrained (cfg.vocab_path, the
         # reference's VOC argument) or trained on the fly — bootstrap
@@ -211,6 +216,7 @@ class CubemapSLAM:
 
     def deactivate_localization_mode(self):
         self.localization_only = False
+        self.mb_vo = False
 
     # ------------------------------------------------------------------
     # Initialization (Tracking.cpp:391-565)
@@ -365,6 +371,26 @@ class CubemapSLAM:
             assoc, n, R, t, outlier, n_inl = k.track_motion_fused(
                 self.arena, kp, self.last.assoc, self.last.outlier,
                 self.last.kp.level, R_pred, t_pred, radius=30.0)
+
+        if self.localization_only and self.mb_vo:
+            # dual-hypothesis VO mode (Tracking.cpp:231-277): keep the
+            # motion-model (VO) result in hand while attempting
+            # relocalization; the reloc hypothesis wins when both succeed
+            ok_vo = int(n) >= 20
+            if self._relocalize(kp, fid, ts):
+                self.mb_vo = False
+                return
+            if not ok_vo:
+                self._set_lost(kp, fid, ts)
+                return
+            R_li, t_li = G.se3_inverse(R_last, t_last)
+            self.velocity = G.se3_compose(R, t, R_li, t_li)
+            self._record_frame(kp, assoc, outlier, R, t, fid, ts)
+            self.mb_vo = int(n_inl) < 10
+            self.metrics.append({"frame": fid, "inliers": int(n_inl),
+                                 "matches": int(n), "vo": True})
+            return
+
         if int(n) < 20:  # fall back to reference KF (Tracking.cpp:191-200)
             assoc, n = k.track_reference_kf(self.arena, kp,
                                             jnp.int32(self.ref_kf))
@@ -374,8 +400,30 @@ class CubemapSLAM:
             R, t, outlier, n_inl = k.optimize_pose(self.arena, kp, assoc,
                                                    R_last, t_last)
         if int(n) < 15 or int(n_inl) < 10:
+            if self.localization_only and int(n) >= 20:
+                # weak map support but live frame-to-frame tracking: enter
+                # VO mode instead of LOST (TrackWithMotionModel localization
+                # epilogue, Tracking.cpp:670-676)
+                self.mb_vo = True
+                R_li, t_li = G.se3_inverse(R_last, t_last)
+                self.velocity = G.se3_compose(R, t, R_li, t_li)
+                self._record_frame(kp, assoc, outlier, R, t, fid, ts)
+                self.metrics.append({"frame": fid, "inliers": int(n_inl),
+                                     "matches": int(n), "vo": True})
+                return
             self._set_lost(kp, fid, ts)
             return
+        if self.localization_only:
+            # mbVO update for the NEXT frame (nmatchesMap<10,
+            # Tracking.cpp:670-673); VO mode skips TrackLocalMap
+            self.mb_vo = int(n_inl) < 10
+            if self.mb_vo:
+                R_li, t_li = G.se3_inverse(R_last, t_last)
+                self.velocity = G.se3_compose(R, t, R_li, t_li)
+                self._record_frame(kp, assoc, outlier, R, t, fid, ts)
+                self.metrics.append({"frame": fid, "inliers": int(n_inl),
+                                     "matches": int(n), "vo": True})
+                return
 
         # local-map tracking (TrackLocalMap, Tracking.cpp:679-719)
         self.arena, assoc, outlier, R, t, n_final = k.track_local_fused(
@@ -417,6 +465,7 @@ class CubemapSLAM:
         self.velocity = None
         self.ref_kf = 0
         self.bow_table = None
+        self.mb_vo = False
         self.loop_closer.reset()
 
     def _update_bow(self, slot: int, kp):
@@ -492,6 +541,7 @@ class CubemapSLAM:
             self._record_frame(kp, assoc2, outlier, R, t, fid, ts)
             self.velocity = None
             self.state = TrackState.OK
+            self.mb_vo = False
             return True
         return False
 
