@@ -6,8 +6,9 @@ Same positional contract as the reference binaries
     python -m cubemapslam_tpu.apps.run_sequence \
         VOC SETTINGS_YAML IMG_DIR IMG_LIST MASK TRAJ_OUT [PERF_OUT]
 
-* VOC: a saved vocabulary/map npz, or "none" (the vocabulary is then
-  trained on the fly from the bootstrap keyframes).
+* VOC: a pretrained vocabulary npz (scripts/train_vocab.py, the ORBvoc.txt
+  analog), a saved map npz (localization on a prebuilt map), or "none"
+  (the vocabulary is then trained on the fly from the bootstrap keyframes).
 * SETTINGS_YAML: a reference-format calibration (Config/*.yaml loads
   unmodified).
 * IMG_LIST: Lafida format "id ts path" lines or plain filenames (fangshan
@@ -77,10 +78,20 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     cfg = load_config(settings)
     slam = CubemapSLAM(cfg)
-    if voc_path not in ("none", "None", ""):
-        if os.path.exists(voc_path):
+    if voc_path not in ("none", "None", "") and os.path.exists(voc_path):
+        from cubemapslam_tpu import place as PL
+        with np.load(voc_path) as z:
+            is_vocab = "centers_0" in z
+        if is_vocab:
+            # pretrained vocabulary artifact (scripts/train_vocab.py —
+            # the ORBvoc.txt analog, ORBVocabulary.h:36-37)
+            slam.vocab = PL.load_vocabulary(voc_path)
+            print(f"loaded vocabulary ({slam.vocab.n_words} words) "
+                  f"from {voc_path}")
+        else:
+            # prebuilt map checkpoint: localize against it
             serialize.load_map(slam, voc_path)
-            print(f"loaded map/vocabulary from {voc_path}")
+            print(f"loaded map from {voc_path}")
 
     images = read_image_list(img_dir, img_list)
     print(f"{len(images)} images in sequence")

@@ -35,41 +35,48 @@ def make_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (AXIS,))
 
 
-def partition_edges_by_camera(obs_cam: np.ndarray, n_shards: int,
-                              n_cams: int) -> np.ndarray:
-    """Permutation grouping edges into contiguous keyframe blocks (edges of
-    one keyframe land on one shard; blocks balanced by edge count)."""
-    order = np.argsort(obs_cam, kind="stable")
-    return order
-
-
-def _pad_to(x: np.ndarray, n: int, fill=0):
-    pad = n - x.shape[0]
-    if pad <= 0:
-        return x
-    return np.concatenate(
-        [x, np.full((pad,) + x.shape[1:], fill, x.dtype)], axis=0)
+def partition_edges_by_camera(obs_cam: np.ndarray,
+                              n_shards: int) -> list:
+    """Keyframe-block edge partition: ALL edges of one keyframe land on one
+    shard, shards balanced by edge count (greedy largest-camera-first
+    binning). Returns a list of ``n_shards`` edge-index arrays. Keeping a
+    keyframe's edges together makes each device's segment-sum accumulators
+    touch only its own keyframes' camera blocks, so the post-psum reduced
+    system stays covisibility-local in practice."""
+    obs_cam = np.asarray(obs_cam)
+    cams, inv, counts = np.unique(obs_cam, return_inverse=True,
+                                  return_counts=True)
+    shard_of_cam = np.zeros(len(cams), np.int32)
+    loads = np.zeros(n_shards, np.int64)
+    for ci in np.argsort(-counts, kind="stable"):
+        s = int(np.argmin(loads))
+        shard_of_cam[ci] = s
+        loads[s] += counts[ci]
+    edge_shard = shard_of_cam[inv]
+    return [np.where(edge_shard == s)[0] for s in range(n_shards)]
 
 
 def shard_ba_problem(prob: BAProblem, n_shards: int) -> BAProblem:
-    """Reorder + pad the edge arrays so they split evenly into keyframe
-    blocks across ``n_shards`` devices."""
-    obs_cam = np.asarray(prob.obs_cam)
-    E = obs_cam.shape[0]
-    order = partition_edges_by_camera(obs_cam, n_shards,
-                                      int(np.asarray(prob.R).shape[0]))
-    E_pad = ((E + n_shards - 1) // n_shards) * n_shards
+    """Reorder + pad the edge arrays into ``n_shards`` equal keyframe blocks
+    (each keyframe's edges contiguous on one shard; shards padded to the
+    largest block with masked-out edges)."""
+    blocks = partition_edges_by_camera(prob.obs_cam, n_shards)
+    S = max(len(b) for b in blocks)
 
-    def reorder(x, fill=0):
-        return jnp.asarray(_pad_to(np.asarray(x)[order], E_pad, fill))
+    def layout(x, fill=0):
+        x = np.asarray(x)
+        out = np.full((n_shards * S,) + x.shape[1:], fill, x.dtype)
+        for s, b in enumerate(blocks):
+            out[s * S:s * S + len(b)] = x[b]
+        return jnp.asarray(out)
 
     return prob._replace(
-        obs_cam=reorder(prob.obs_cam),
-        obs_pt=reorder(prob.obs_pt),
-        obs_face=reorder(prob.obs_face),
-        obs_uv=reorder(prob.obs_uv),
-        obs_inv_sigma2=reorder(prob.obs_inv_sigma2),
-        obs_valid=reorder(prob.obs_valid, fill=False))
+        obs_cam=layout(prob.obs_cam),
+        obs_pt=layout(prob.obs_pt),
+        obs_face=layout(prob.obs_face),
+        obs_uv=layout(prob.obs_uv),
+        obs_inv_sigma2=layout(prob.obs_inv_sigma2),
+        obs_valid=layout(prob.obs_valid, fill=False))
 
 
 def distributed_bundle_adjust(cam: CubemapCamera, prob: BAProblem,

@@ -275,6 +275,51 @@ class TrackingKernels:
         return arena, assoc, outlier, R, t, n_final
 
     # ------------------------------------------------------------------
+    # Relocalization (Tracking::Relocalization, Tracking.cpp:990-1151):
+    # ALL BoW candidates evaluated in ONE vmapped program (the reference
+    # round-robins PnP RANSAC across candidates host-side; a sync per
+    # candidate stage costs ~20-50ms over the TPU tunnel)
+    # ------------------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def reloc_candidates_fused(self, arena: SM.MapArena, kp_cur: Keypoints,
+                               cand_idx, cand_ok, keys):
+        """Per candidate KF: BoW-style match (>=15) -> bearing-EPnP RANSAC
+        -> PoseOptimization (>=10 inliers). Returns stacked
+        (assoc, R, t, outlier, score) where score = n2 inliers for passing
+        candidates, -1 otherwise."""
+        from cubemapslam_tpu.solvers.pnp import pnp_ransac
+        lvl_sig2 = self.level_sigma2[
+            jnp.clip(kp_cur.level, 0, self.cfg.n_levels - 1)]
+
+        def one(c, ok_c, key):
+            assoc, n = self.track_reference_kf(arena, kp_cur, c)
+            has = (assoc >= 0) & kp_cur.valid
+            pw = arena.lm_pos[jnp.maximum(assoc, 0)]
+            res = pnp_ransac(self.cam, key, pw, kp_cur.rays, kp_cur.uv,
+                             lvl_sig2, has,
+                             n_iters=self.cfg.pnp_ransac_iters)
+            R, t, outlier, n2 = self.optimize_pose(arena, kp_cur, assoc,
+                                                   res.R, res.t)
+            good = ok_c & (n >= 15) & res.success & (n2 >= 10)
+            return assoc, R, t, outlier, jnp.where(good, n2, -1)
+
+        return jax.vmap(one)(cand_idx, cand_ok, keys)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def reloc_widen_fused(self, arena: SM.MapArena, kp_cur: Keypoints,
+                          assoc, outlier, R, t):
+        """Widening pass for the accepted candidate: local-landmark
+        projection search + final PoseOptimization (the two SearchByProjection
+        widening passes, Tracking.cpp:1078-1140)."""
+        assoc = jnp.where(outlier, SM.NO_LM, assoc)
+        sel, sel_ok, _ = self.select_local_landmarks(arena, assoc)
+        assoc2, _ = self.search_local_points(arena, kp_cur, assoc,
+                                             sel, sel_ok, R, t)
+        R, t, outlier, n3 = self.optimize_pose(arena, kp_cur, assoc2, R, t)
+        return assoc2, R, t, outlier, n3
+
+    # ------------------------------------------------------------------
     # Keyframe creation
     # ------------------------------------------------------------------
 

@@ -212,6 +212,79 @@ class LoopKernels:
         total = jnp.sum((loop_assoc >= 0).astype(jnp.int32))
         return loop_assoc, total
 
+    @functools.partial(jax.jit, static_argnums=(0, 2))
+    def loop_member_landmarks(self, arena: SM.MapArena, max_sel: int,
+                              k_loop):
+        """Compact the loop neighborhood's landmark set (mvpLoopMapPoints,
+        LoopClosing.cpp:306-320: union of the loop KF + its covisible
+        neighbors' observations) to a fixed-size index list."""
+        L = arena.n_lm_cap
+        covis = SM.covisibility_matrix(arena)
+        nb = (covis[k_loop] >= self.cfg.covisibility_weight_th) \
+            & arena.kf_valid
+        nb = nb.at[k_loop].set(True)
+        obs = arena.kf_obs_lm
+        obs_ok = (obs >= 0) & arena.kf_kp_valid & nb[:, None]
+        member = jnp.zeros(L + 1, bool).at[
+            jnp.where(obs_ok, obs, L)].set(True)[:-1]
+        member &= arena.lm_valid
+        score = jnp.where(member, 1.0, -1.0)
+        val, sel = jax.lax.top_k(score, min(max_sel, L))
+        return sel.astype(jnp.int32), val > 0
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def search_and_fuse(self, arena: SM.MapArena, neigh_idx, neigh_ok,
+                        sel, sel_ok):
+        """Project the loop landmark set into EVERY corrected keyframe and
+        fuse duplicates with loop-landmark-wins Replace semantics
+        (LoopClosing::SearchAndFuse, cpp:586-612 + ORBMatcher::Fuse(Scw)
+        radius 4): a matched feature already holding a different landmark
+        has it REPLACED by the loop landmark; a free feature gains the
+        observation. neigh_idx: fixed-size corrected-KF slots (masked by
+        neigh_ok); sel/sel_ok: compacted loop landmark ids."""
+        L = arena.n_lm_cap
+
+        def body(i, arena):
+            k = neigh_idx[i]
+            valid_kf = neigh_ok[i] & arena.kf_valid[k]
+            ok_q = sel_ok & arena.lm_valid[sel] & valid_kf
+            Xw = arena.lm_pos[sel]
+            Xc = G.se3_apply(arena.kf_R[k], arena.kf_t[k], Xw)
+            d = jnp.linalg.norm(Xc, axis=-1)
+            lvl = SM.predict_scale(d, arena.lm_max_dist[sel],
+                                   self.log_scale, self.cfg.n_levels)
+            in_band = ((d >= 0.8 * arena.lm_min_dist[sel])
+                       & (d <= 1.2 * arena.lm_max_dist[sel]))
+            from cubemapslam_tpu.runtime.mapping import _kf_keypoints
+            kp_dst = _kf_keypoints(arena, k)
+            res = M.search_by_projection(
+                Xc, arena.lm_desc[sel], lvl, ok_q & in_band, kp_dst,
+                self.cam, self.scale_factors, 4.0,
+                level_lo_off=-1, level_hi_off=1,
+                th=float(self.cfg.th_low))
+            j = res.idx
+            lm_q = sel
+            row = arena.kf_obs_lm[k]
+            tgt = row[j]
+            # skip queries whose landmark is already in this row (self-fuse)
+            add = res.ok & (tgt < 0)
+            merge = res.ok & (tgt >= 0) & (tgt != lm_q)
+            row_new = row.at[jnp.where(add, j, arena.n_feat - 1)].max(
+                jnp.where(add, lm_q, SM.NO_LM).astype(jnp.int32))
+            obs = arena.kf_obs_lm.at[k].set(row_new)
+            loser = jnp.maximum(tgt, 0)
+            winner = lm_q
+            redirect = jnp.arange(L, dtype=jnp.int32)
+            redirect = redirect.at[jnp.where(merge, loser, 0)].set(
+                jnp.where(merge, winner, redirect[0]))
+            dead = jnp.zeros(L, bool).at[
+                jnp.where(merge, loser, 0)].set(merge)
+            arena = arena._replace(kf_obs_lm=obs,
+                                   lm_valid=arena.lm_valid & ~dead)
+            return SM.apply_redirect(arena, redirect)
+
+        return jax.lax.fori_loop(0, neigh_idx.shape[0], body, arena)
+
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def loop_fuse(self, arena: SM.MapArena, k_cur, loop_assoc):
         """Fuse the matched loop landmarks into the current keyframe
@@ -517,13 +590,22 @@ class LoopCloser:
             arena, jnp.int32(k_cur), jnp.int32(k_loop), s, R, t,
             neigh_pre, jnp.asarray(li), jnp.asarray(lj), jnp.asarray(lv))
         self.loop_edges.append((k_cur, k_loop))
-        # fuse duplicated landmarks around the loop (SearchAndFuse analog)
-        system.arena = self.mapping.fuse_pair(system.arena,
-                                              jnp.int32(k_loop),
-                                              jnp.int32(k_cur))
-        system.arena = self.mapping.fuse_pair(system.arena,
-                                              jnp.int32(k_cur),
-                                              jnp.int32(k_loop))
+        # SearchAndFuse over the WHOLE corrected neighborhood
+        # (LoopClosing.cpp:586-612): project the loop landmark set into
+        # every corrected KF (current + its pre-fusion covisibles) and
+        # Replace duplicates — not just the (k_cur, k_loop) pair
+        max_neigh = 16
+        neigh_np = np.where(np.asarray(neigh_pre))[0]
+        ni = np.zeros(max_neigh, np.int32)
+        nv = np.zeros(max_neigh, bool)
+        ni[0], nv[0] = k_cur, True
+        for n_, kf in enumerate(neigh_np[:max_neigh - 1]):
+            ni[n_ + 1], nv[n_ + 1] = kf, kf != k_cur
+        sel, sel_ok = self.k.loop_member_landmarks(
+            system.arena, min(4096, system.arena.n_lm_cap),
+            jnp.int32(k_loop))
+        system.arena = self.k.search_and_fuse(
+            system.arena, jnp.asarray(ni), jnp.asarray(nv), sel, sel_ok)
         system.arena = SM.update_landmark_stats(
             system.arena, jnp.asarray(self.cfg.scale_factors, jnp.float32))
         # full-map BA after the pose-graph correction (the reference spawns

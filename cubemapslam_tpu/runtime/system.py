@@ -30,7 +30,6 @@ from cubemapslam_tpu import place as PL
 from cubemapslam_tpu.runtime.kernels import TrackingKernels
 from cubemapslam_tpu.runtime.mapping import MappingKernels
 from cubemapslam_tpu.runtime.loop_closing import LoopCloser
-from cubemapslam_tpu.solvers.pnp import pnp_ransac
 
 
 class TrackState(enum.Enum):
@@ -505,39 +504,30 @@ class CubemapSLAM:
         if self.vocab is None or self.bow_table is None:
             return False
         k = self.kernels
+        n_cand = 5
         qbow = PL.bow_vector(self.vocab, kp.desc, kp.valid)
         covis = SM.covisibility_matrix(self.arena)
         cand_idx, cand_ok = PL.detect_candidates(
             qbow, self.bow_table, self.arena.kf_valid,
             jnp.zeros(self.arena.n_kf_cap, bool), covis, jnp.float32(0.0))
-        cands = np.asarray(cand_idx)[np.asarray(cand_ok)]
-        lvl_sig2 = jnp.asarray(self.cfg.level_sigma2, jnp.float32)
-        for c in cands[:5]:
-            assoc, n = k.track_reference_kf(self.arena, kp, jnp.int32(c))
-            if int(n) < 15:
-                continue
-            has = assoc >= 0
-            pw = self.arena.lm_pos[jnp.maximum(assoc, 0)]
-            sig2 = lvl_sig2[jnp.clip(kp.level, 0, self.cfg.n_levels - 1)]
-            self.key, sub = jax.random.split(self.key)
-            res = pnp_ransac(self.cam, sub, pw, kp.rays, kp.uv, sig2,
-                             has & kp.valid,
-                             n_iters=self.cfg.pnp_ransac_iters)
-            if not bool(res.success):
-                continue
-            R, t, outlier, n2 = k.optimize_pose(self.arena, kp, assoc,
-                                                res.R, res.t)
-            if int(n2) < 10:
-                continue
-            assoc2 = jnp.where(outlier, SM.NO_LM, assoc)
-            sel, sel_ok, _ = k.select_local_landmarks(self.arena, assoc2)
-            assoc2, vis_add = k.search_local_points(self.arena, kp, assoc2,
-                                                    sel, sel_ok, R, t)
-            R, t, outlier, n3 = k.optimize_pose(self.arena, kp, assoc2,
-                                                R, t)
+        # all <=5 candidates evaluated in ONE vmapped program (match + PnP
+        # RANSAC + pose opt), then one widening program for the best — two
+        # device round-trips total instead of 4+ per candidate
+        self.key, sub = jax.random.split(self.key)
+        keys = jax.random.split(sub, n_cand)
+        assoc_c, R_c, t_c, out_c, score_c = k.reloc_candidates_fused(
+            self.arena, kp, cand_idx[:n_cand], cand_ok[:n_cand], keys)
+        scores = np.asarray(score_c)
+        if scores.max() < 0:
+            return False
+        for i in np.argsort(-scores):
+            if scores[i] < 0:
+                break
+            assoc2, R, t, outlier, n3 = k.reloc_widen_fused(
+                self.arena, kp, assoc_c[i], out_c[i], R_c[i], t_c[i])
             if int(n3) < self.cfg.min_track_inliers_after_reloc:
                 continue
-            self.ref_kf = int(c)
+            self.ref_kf = int(cand_idx[i])
             self._record_frame(kp, assoc2, outlier, R, t, fid, ts)
             self.velocity = None
             self.state = TrackState.OK

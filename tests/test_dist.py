@@ -71,3 +71,21 @@ class TestDistributedBA:
 
     def test_dryrun_hook(self):
         D.dryrun(4)
+
+    def test_partition_honors_keyframe_blocks(self, rng):
+        obs_cam = rng.integers(0, 17, 4000).astype(np.int32)
+        n_shards = 4
+        blocks = D.partition_edges_by_camera(obs_cam, n_shards)
+        # complete + disjoint
+        all_idx = np.sort(np.concatenate(blocks))
+        np.testing.assert_array_equal(all_idx, np.arange(len(obs_cam)))
+        # each camera's edges land on exactly ONE shard
+        shard_of = np.zeros(len(obs_cam), np.int32)
+        for s, b in enumerate(blocks):
+            shard_of[b] = s
+        for c in np.unique(obs_cam):
+            assert len(np.unique(shard_of[obs_cam == c])) == 1
+        # balanced by edge count (greedy bound: max <= mean + max cam size)
+        sizes = np.array([len(b) for b in blocks])
+        biggest_cam = np.bincount(obs_cam).max()
+        assert sizes.max() <= sizes.mean() + biggest_cam

@@ -75,8 +75,8 @@ class TestEndToEnd:
         out = tmp_path / "traj.txt"
         slam.save_keyframe_trajectory_tum(str(out))
         lines = out.read_text().strip().splitlines()
-        assert len(lines) == sum(
-            np.asarray(slam.arena.kf_valid)[:slam.n_kf])
+        # n_kf is a monotonic counter, not a slot bound — count LIVE slots
+        assert len(lines) == int(np.asarray(slam.arena.kf_valid).sum())
         for ln in lines:
             vals = [float(x) for x in ln.split()]
             assert len(vals) == 8

@@ -65,3 +65,39 @@ class TestVocabulary:
         idx, ok = np.asarray(idx), np.asarray(ok)
         assert ok.any()
         assert idx[np.argmax(ok)] == 2  # best candidate is the true loop
+
+
+class TestVocabularyArtifact:
+    def test_save_load_roundtrip(self, rng, tmp_path):
+        desc = rand_desc(rng, 1500)
+        vocab = P.train_vocabulary(desc, k=6, depth=3, seed=1)
+        path = str(tmp_path / "voc.npz")
+        P.save_vocabulary(vocab, path)
+        v2 = P.load_vocabulary(path)
+        assert v2.k == vocab.k and v2.depth == vocab.depth
+        assert v2.n_words == vocab.n_words
+        q = rand_desc(rng, 200)
+        ids1 = np.asarray(P.word_ids(vocab, jnp.asarray(q)))
+        ids2 = np.asarray(P.word_ids(v2, jnp.asarray(q)))
+        np.testing.assert_array_equal(ids1, ids2)
+        valid = jnp.ones(200, bool)
+        np.testing.assert_allclose(
+            np.asarray(P.bow_vector(vocab, jnp.asarray(q), valid)),
+            np.asarray(P.bow_vector(v2, jnp.asarray(q), valid)))
+
+    def test_system_uses_pretrained_vocab(self, rng, tmp_path):
+        """A system built with cfg.vocab_path never trains/retrains
+        (the reference's pretrained-ORBvoc path, System.cpp:50-61)."""
+        from cubemapslam_tpu.config import SlamConfig
+        from cubemapslam_tpu.runtime.system import CubemapSLAM
+        desc = rand_desc(rng, 1500)
+        vocab = P.train_vocabulary(desc, k=6, depth=3, seed=1)
+        path = str(tmp_path / "voc.npz")
+        P.save_vocabulary(vocab, path)
+        cfg = SlamConfig(cube_face_w=128, cube_face_h=128, n_features=256,
+                         n_levels=3, max_keyframes=8, max_landmarks=1024,
+                         vocab_path=path)
+        slam = CubemapSLAM(cfg)
+        assert slam.vocab is not None
+        assert slam.vocab.n_words == vocab.n_words
+        assert not slam._vocab_is_bootstrap
