@@ -56,12 +56,18 @@ def partition_edges_by_camera(obs_cam: np.ndarray,
     return [np.where(edge_shard == s)[0] for s in range(n_shards)]
 
 
-def shard_ba_problem(prob: BAProblem, n_shards: int) -> BAProblem:
+def shard_ba_problem(prob: BAProblem, n_shards: int,
+                     return_perm: bool = False):
     """Reorder + pad the edge arrays into ``n_shards`` equal keyframe blocks
     (each keyframe's edges contiguous on one shard; shards padded to the
-    largest block with masked-out edges)."""
+    largest block with masked-out edges). With return_perm, also returns
+    perm (E_sharded,) int64 mapping layout position -> original edge index
+    (-1 for padding), for scattering per-edge results back."""
     blocks = partition_edges_by_camera(prob.obs_cam, n_shards)
     S = max(len(b) for b in blocks)
+    perm = np.full(n_shards * S, -1, np.int64)
+    for s, b in enumerate(blocks):
+        perm[s * S:s * S + len(b)] = b
 
     def layout(x, fill=0):
         x = np.asarray(x)
@@ -70,13 +76,16 @@ def shard_ba_problem(prob: BAProblem, n_shards: int) -> BAProblem:
             out[s * S:s * S + len(b)] = x[b]
         return jnp.asarray(out)
 
-    return prob._replace(
+    sharded = prob._replace(
         obs_cam=layout(prob.obs_cam),
         obs_pt=layout(prob.obs_pt),
         obs_face=layout(prob.obs_face),
         obs_uv=layout(prob.obs_uv),
         obs_inv_sigma2=layout(prob.obs_inv_sigma2),
         obs_valid=layout(prob.obs_valid, fill=False))
+    if return_perm:
+        return sharded, perm
+    return sharded
 
 
 def distributed_bundle_adjust(cam: CubemapCamera, prob: BAProblem,
@@ -115,11 +124,15 @@ def global_ba_problem_from_arena(cam: CubemapCamera, arena: SM.MapArena,
                                  inv_level_sigma2: jnp.ndarray
                                  ) -> BAProblem:
     """Build the full-map BA problem (GlobalBundleAdjustemnt analog,
-    Optimizer.cpp:453-621): all valid KFs free except KF 0, all valid
-    landmarks."""
+    Optimizer.cpp:453-621): the temporally first valid keyframe fixed
+    (slots are recycled, so "KF 0" is by frame id), all valid landmarks.
+    The monocular scale gauge is retracted inside bundle_adjust."""
     kf_idx, lm, face, uv_face, inv_s2, live = SM.ba_edges_from_arena(
         cam, arena, arena.kf_valid, inv_level_sigma2)
-    cam_fixed = jnp.zeros(arena.n_kf_cap, bool).at[0].set(True)
+    ordkey = jnp.where(arena.kf_valid, arena.kf_frame_id,
+                       jnp.iinfo(jnp.int32).max)
+    first = jnp.argmin(ordkey)
+    cam_fixed = jnp.zeros(arena.n_kf_cap, bool).at[first].set(True)
     return BAProblem(
         R=arena.kf_R, t=arena.kf_t, cam_fixed=cam_fixed,
         cam_valid=arena.kf_valid, X=arena.lm_pos,
@@ -128,57 +141,82 @@ def global_ba_problem_from_arena(cam: CubemapCamera, arena: SM.MapArena,
         obs_valid=live)
 
 
-def dryrun(n_devices: int) -> None:
-    """Compile + execute one sharded global-BA step on tiny shapes over an
-    ``n_devices`` mesh (driver validation hook)."""
-    import numpy as np
-    from cubemapslam_tpu.config import SlamConfig
+def make_synthetic_arena(cfg, cam, n_kf: int = 12, n_pts: int = 256,
+                         seed: int = 0, pos_noise: float = 0.01):
+    """A populated MapArena for dryruns/benchmarks: keyframes on a short
+    trajectory observing a shared random point cloud, observations wired
+    through kf_obs_lm exactly as the product's mapping writes them."""
+    from cubemapslam_tpu import camera as C
     from cubemapslam_tpu import geometry as G
+
+    rng = np.random.default_rng(seed)
+    N = cfg.n_features
+    arena = SM.make_arena(max(n_kf, 4), N, max(n_pts, 8))
+    d = rng.normal(size=(n_pts, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    pts = (d * rng.uniform(3, 7, (n_pts, 1))).astype(np.float32)
+    desc = rng.integers(0, 2 ** 32, (n_pts, 8), dtype=np.uint32)
+    arena = arena._replace(
+        lm_pos=jnp.asarray(pts + rng.normal(0, pos_noise, pts.shape)
+                           .astype(np.float32)),
+        lm_valid=jnp.ones(arena.n_lm_cap, bool).at[n_pts:].set(False),
+        lm_desc=arena.lm_desc.at[:n_pts].set(jnp.asarray(desc)))
+    for k in range(n_kf):
+        Rk = np.asarray(G.so3_exp(jnp.asarray(
+            rng.normal(size=3) * 0.03, jnp.float32)))
+        tk = (np.array([0.25 * k, 0, 0.1 * k])
+              + rng.normal(0, 0.01, 3)).astype(np.float32)
+        pc = (Rk @ pts.T).T + tk
+        uv, face = C.ray_to_cubemap(cam, jnp.asarray(pc, jnp.float32))
+        uv, face = np.asarray(uv), np.asarray(face)
+        vis = np.where(face >= 0)[0][:N]
+        row_lm = np.full(N, SM.NO_LM, np.int32)
+        row_uv = np.zeros((N, 2), np.float32)
+        row_face = np.full(N, -1, np.int32)
+        row_desc = np.zeros((N, 8), np.uint32)
+        row_ok = np.zeros(N, bool)
+        row_rays = np.zeros((N, 3), np.float32)
+        for j, p in enumerate(vis):
+            row_lm[j] = p
+            row_uv[j] = uv[p] + rng.normal(0, 0.3, 2)
+            row_face[j] = face[p]
+            row_desc[j] = desc[p]
+            row_ok[j] = True
+            row_rays[j] = pc[p] / np.linalg.norm(pc[p])
+        arena = arena._replace(
+            kf_R=arena.kf_R.at[k].set(jnp.asarray(Rk)),
+            kf_t=arena.kf_t.at[k].set(jnp.asarray(tk)),
+            kf_valid=arena.kf_valid.at[k].set(True),
+            kf_frame_id=arena.kf_frame_id.at[k].set(k),
+            kf_uv=arena.kf_uv.at[k].set(jnp.asarray(row_uv)),
+            kf_rays=arena.kf_rays.at[k].set(jnp.asarray(row_rays)),
+            kf_face=arena.kf_face.at[k].set(jnp.asarray(row_face)),
+            kf_desc=arena.kf_desc.at[k].set(jnp.asarray(row_desc)),
+            kf_kp_valid=arena.kf_kp_valid.at[k].set(jnp.asarray(row_ok)),
+            kf_obs_lm=arena.kf_obs_lm.at[k].set(jnp.asarray(row_lm)))
+    return arena
+
+
+def dryrun(n_devices: int) -> None:
+    """Compile + execute one sharded global-BA step over an ``n_devices``
+    mesh on an ARENA-DERIVED problem — the same construction the product's
+    post-loop global BA runs (LoopCloser._global_ba), on tiny shapes."""
+    from cubemapslam_tpu.config import SlamConfig
 
     devices = jax.devices()[:n_devices]
     assert len(devices) == n_devices, (
         f"need {n_devices} devices, have {len(jax.devices())}")
     mesh = make_mesh(devices)
-    cfg = SlamConfig(cube_face_w=64, cube_face_h=64)
+    cfg = SlamConfig(cube_face_w=64, cube_face_h=64, n_features=64,
+                     n_levels=2)
     cam = CubemapCamera.from_config(cfg)
-    rng = np.random.default_rng(0)
-    M, Pn = 8, 64
-    pts = rng.uniform(-2, 2, (Pn, 3)).astype(np.float32)
-    pts[:, 2] += 5.0
-    Rs, ts = [], []
-    for k in range(M):
-        Rs.append(np.asarray(G.so3_exp(jnp.asarray(
-            rng.normal(size=3) * 0.02, jnp.float32))))
-        ts.append(np.asarray([0.2 * k, 0, 0], np.float32))
-    obs_cam, obs_pt, obs_face, obs_uv = [], [], [], []
-    from cubemapslam_tpu import camera as C
-    for ci in range(M):
-        pc = (Rs[ci] @ pts.T).T + ts[ci]
-        uv, face = C.ray_to_cubemap(cam, jnp.asarray(pc, jnp.float32))
-        uvf = cubemap_uv_to_in_face(cam, uv)
-        ok = np.asarray(face) >= 0
-        for pi in np.where(ok)[0]:
-            obs_cam.append(ci)
-            obs_pt.append(pi)
-            obs_face.append(int(face[pi]))
-            obs_uv.append(np.asarray(uvf[pi]))
-    E = len(obs_cam)
-    prob = BAProblem(
-        R=jnp.asarray(np.stack(Rs)), t=jnp.asarray(np.stack(ts)),
-        cam_fixed=jnp.asarray([True] + [False] * (M - 1)),
-        cam_valid=jnp.ones(M, bool),
-        X=jnp.asarray(pts + rng.normal(0, 0.01, pts.shape).astype(
-            np.float32)),
-        pt_valid=jnp.ones(Pn, bool),
-        obs_cam=jnp.asarray(obs_cam, jnp.int32),
-        obs_pt=jnp.asarray(obs_pt, jnp.int32),
-        obs_face=jnp.asarray(obs_face, jnp.int32),
-        obs_uv=jnp.asarray(np.stack(obs_uv), jnp.float32),
-        obs_inv_sigma2=jnp.ones(E, jnp.float32),
-        obs_valid=jnp.ones(E, bool))
+    arena = make_synthetic_arena(cfg, cam, n_kf=10, n_pts=96)
+    inv_s2 = 1.0 / jnp.asarray(cfg.level_sigma2, jnp.float32)
+    prob = global_ba_problem_from_arena(cam, arena, inv_s2)
     prob = shard_ba_problem(prob, n_devices)
     out, inl = distributed_bundle_adjust(cam, prob, mesh,
                                          phase_iters=(2, 2), cg_iters=8)
     jax.block_until_ready(out.R)
     assert np.isfinite(np.asarray(out.R)).all()
     assert np.isfinite(np.asarray(out.X)).all()
+    assert int(np.asarray(inl).sum()) > 0

@@ -209,11 +209,35 @@ def bundle_adjust(cam: CubemapCamera, prob: BAProblem,
                     jnp.reshape(improved, (1,) * new.ndim), new, old),
                 cand, prob)
             lm_lambda = jnp.where(improved, lm_lambda * 0.5, lm_lambda * 4.0)
-            return prob, jnp.clip(lm_lambda, 1e-8, 1e4)
+            # lambda floor 1e-6 (not ~0): the damping term is what bounds
+            # motion along near-null gauge directions in the CG solve
+            return prob, jnp.clip(lm_lambda, 1e-6, 1e4)
 
         prob, _ = jax.lax.fori_loop(0, n_iters, body,
                                     (prob, jnp.float32(1e-4)))
         return prob
+
+    # Scale-gauge anchor. With a single fixed camera, uniform scaling about
+    # its center is an EXACT cost null direction of monocular BA (the
+    # classic 7th gauge dof); the matrix-free CG accumulates motion along
+    # it once LM's lambda shrinks (measured x10 map inflation per call on
+    # an orbit sequence — g2o's direct Cholesky stays on the gauge slice
+    # numerically, so the reference never needed this). Fix: remember the
+    # distance from the anchor to the farthest valid camera at ENTRY, and
+    # retract the pure-scale gauge motion after optimization. Scaling is
+    # exactly cost-invariant, so this changes nothing but the gauge.
+    fixedv = prob.cam_fixed & prob.cam_valid
+    n_fixedv = jnp.sum(fixedv.astype(jnp.int32))
+    anchor = jnp.where(jnp.any(fixedv), jnp.argmax(fixedv),
+                       jnp.argmax(prob.cam_valid)).astype(jnp.int32)
+
+    def centers(p):
+        return -mat3_apply(p.R.transpose(0, 2, 1), p.t)
+
+    c0 = centers(prob)
+    ref_d = jnp.linalg.norm(c0 - c0[anchor], axis=-1)
+    gauge_j = jnp.argmax(jnp.where(prob.cam_valid, ref_d, -1.0))
+    d_in = ref_d[gauge_j]
 
     for phase, n in enumerate(phase_iters):
         robust = phase == 0
@@ -226,4 +250,17 @@ def bundle_adjust(cam: CubemapCamera, prob: BAProblem,
         in_fov = Xc[..., 2] / jnp.maximum(d, 1e-12) > cam.cos_fov_th
         active = active & (chi2 <= chi2_cut) & in_fov
 
+    c1 = centers(prob)
+    d_out = jnp.linalg.norm(c1[gauge_j] - c1[anchor])
+    # only when scale is actually free (<=1 fixed camera) and well-defined
+    s = jnp.where((n_fixedv <= 1) & (d_out > 1e-9) & (d_in > 1e-9),
+                  d_in / d_out, 1.0)
+    ca = c1[anchor]
+    c_new = ca + s * (c1 - ca)
+    t_new = -mat3_apply(prob.R, c_new)
+    X_new = ca + s * (prob.X - ca)
+    free = prob.cam_valid & ~prob.cam_fixed
+    prob = prob._replace(
+        t=jnp.where(free[:, None], t_new, prob.t),
+        X=jnp.where(prob.pt_valid[:, None], X_new, prob.X))
     return prob, active

@@ -274,6 +274,70 @@ class TrackingKernels:
         arena = self.update_found_counters(arena, assoc, outlier, vis_add)
         return arena, assoc, outlier, R, t, n_final
 
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def track_frame_full(self, arena: SM.MapArena, kp_cur: Keypoints,
+                         last_assoc, last_outlier, last_kp_level,
+                         R_pred, t_pred, R_last, t_last, ref_kf):
+        """The WHOLE per-frame SLAM tracking path as one device program:
+        motion-model match (radius 15) -> widen to 30 if <20 matches
+        (Tracking.cpp:641-648) -> reference-KF fallback if still <20
+        (Tracking.cpp:191-200) -> TrackLocalMap (Tracking.cpp:679-719),
+        with every branch resolved by lax.cond on device. The host fetches
+        ONE packed scalar vector per frame instead of syncing after each
+        stage (3-6 blocking int() pulls cost 20-50ms each over the TPU
+        tunnel — the reference hides stage latency with threads,
+        System.cpp:108-128; here the device queue stays full instead).
+
+        Returns (arena, assoc, outlier, R, t, scalars) with scalars =
+        [n_matches, n_inliers, n_final, n_ref_obs, live_kf,
+        first_free_slot, track_ok]; n_final/arena counters only updated
+        when track_ok. first_free_slot (-1 if the arena is full) feeds the
+        host's NeedNewKeyFrame check without another fetch.
+        """
+        st = self.track_motion_fused(arena, kp_cur, last_assoc,
+                                     last_outlier, last_kp_level,
+                                     R_pred, t_pred, radius=15.0)
+
+        def widen(_):
+            return self.track_motion_fused(arena, kp_cur, last_assoc,
+                                           last_outlier, last_kp_level,
+                                           R_pred, t_pred, radius=30.0)
+
+        st = jax.lax.cond(st[1] < 20, widen, lambda _: st, None)
+
+        def ref_fallback(_):
+            assoc2, n2 = self.track_reference_kf(arena, kp_cur, ref_kf)
+            R2, t2, out2, ni2 = self.optimize_pose(arena, kp_cur, assoc2,
+                                                   R_last, t_last)
+            return assoc2, n2, R2, t2, out2, ni2
+
+        use_ref = st[1] < 20
+        assoc, n, R, t, outlier, n_inl = jax.lax.cond(
+            use_ref, ref_fallback, lambda _: st, None)
+
+        track_ok = (n >= 15) & (n_inl >= 10)
+
+        def do_local(arena):
+            return self.track_local_fused(arena, kp_cur, assoc, outlier,
+                                          R, t)
+
+        def skip_local(arena):
+            return arena, assoc, outlier, R, t, jnp.int32(0)
+
+        arena, assoc_f, outlier_f, R_f, t_f, n_final = jax.lax.cond(
+            track_ok, do_local, skip_local, arena)
+
+        n_ref_obs = jnp.sum(((arena.kf_obs_lm[ref_kf] >= 0)
+                             & arena.kf_kp_valid[ref_kf]).astype(jnp.int32))
+        live_kf = jnp.sum(arena.kf_valid.astype(jnp.int32))
+        free = ~arena.kf_valid
+        first_free = jnp.where(jnp.any(free),
+                               jnp.argmax(free).astype(jnp.int32),
+                               jnp.int32(-1))
+        scalars = jnp.stack([n, n_inl, n_final, n_ref_obs, live_kf,
+                             first_free, track_ok.astype(jnp.int32)])
+        return arena, assoc_f, outlier_f, R_f, t_f, scalars
+
     # ------------------------------------------------------------------
     # Relocalization (Tracking::Relocalization, Tracking.cpp:990-1151):
     # ALL BoW candidates evaluated in ONE vmapped program (the reference

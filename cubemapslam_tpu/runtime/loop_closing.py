@@ -41,6 +41,29 @@ class LoopKernels:
         self.log_scale = math.log(cfg.scale_factor)
 
     @functools.partial(jax.jit, static_argnums=0)
+    def detect_candidates_fused(self, arena: SM.MapArena, bow_table, slot):
+        """DetectLoop phase 1 on device (LoopClosing.cpp:110-149): covisible
+        exclusion set, minScore from covisible BoW scores, candidate
+        selection — one program, one small fetch. Returns (cand_idx (8,),
+        cand_ok (8,), cand_groups (8,K) candidate covisibility groups incl.
+        self, for the host's 3-consecutive-KF consistency bookkeeping)."""
+        covis = SM.covisibility_matrix(arena)
+        nb = (covis[slot] >= self.cfg.covisibility_weight_th) \
+            & arena.kf_valid
+        exclude = nb.at[slot].set(True)
+        scores = PL.bow_scores(bow_table[slot], bow_table)
+        has_nb = jnp.any(nb)
+        min_score = jnp.where(
+            has_nb, jnp.min(jnp.where(nb, scores, jnp.inf)), 0.0)
+        cand_idx, cand_ok = PL.detect_candidates(
+            bow_table[slot], bow_table, arena.kf_valid, exclude, covis,
+            min_score.astype(jnp.float32))
+        groups = covis[cand_idx] > 0                       # (8,K)
+        groups = groups.at[jnp.arange(cand_idx.shape[0]),
+                           cand_idx].set(True)
+        return cand_idx, cand_ok, groups
+
+    @functools.partial(jax.jit, static_argnums=0)
     def match_kf_pair(self, arena: SM.MapArena, k1, k2):
         """Landmark-feature matching between two keyframes (the SearchByBoW
         KF-KF variant, ORBMatcher.cpp:541-674, as a full gated matmul).
@@ -484,36 +507,26 @@ class LoopCloser:
     def process(self, system, slot: int) -> bool:
         """DetectLoop + ComputeSim3 + CorrectLoop for a new keyframe.
         Returns True if a loop was closed."""
-        cfg = self.cfg
         arena = system.arena
         # >=10 keyframes total and since the last loop (LoopClosing.cpp:
         # 110-118) — measured on the monotonic counter, slots are recycled
         if system.n_kf < 10 or system.n_kf - self.last_loop_counter < 10:
             return False
-        covis_np = np.asarray(SM.covisibility_matrix(arena))
-        neighbors = set(np.where(
-            covis_np[slot] >= cfg.covisibility_weight_th)[0].tolist())
-        exclude = np.zeros(arena.n_kf_cap, bool)
-        exclude[slot] = True
-        for n in neighbors:
-            exclude[n] = True
-        # minScore = min BoW score with covisible neighbors (cpp:118-133)
-        bow = system.bow_table
-        scores_nb = np.asarray(PL.bow_scores(bow[slot], bow))
-        min_score = min((scores_nb[n] for n in neighbors
-                         if np.asarray(arena.kf_valid)[n]), default=0.0)
-        cand_idx, cand_ok = PL.detect_candidates(
-            bow[slot], bow, arena.kf_valid, jnp.asarray(exclude),
-            jnp.asarray(covis_np), jnp.float32(min_score))
-        cand_idx = np.asarray(cand_idx)[np.asarray(cand_ok)]
-        if len(cand_idx) == 0:
+        # detection phase on device, one fetch (exclusion set, minScore,
+        # candidate selection, candidate covisibility groups)
+        cand_idx_d, cand_ok_d, groups_d = self.k.detect_candidates_fused(
+            arena, system.bow_table, jnp.int32(slot))
+        cand_ok = np.asarray(cand_ok_d)
+        if not cand_ok.any():
             self.consistent_groups = []
             return False
+        cand_idx = np.asarray(cand_idx_d)[cand_ok]
+        cand_groups = np.asarray(groups_d)[cand_ok]
         # 3-consecutive-KF consistency (cpp:151-210)
         enough = []
         new_groups: List[Tuple[Set[int], int]] = []
-        for c in cand_idx:
-            group = set(np.where(covis_np[c] > 0)[0].tolist()) | {int(c)}
+        for c, grow in zip(cand_idx, cand_groups):
+            group = set(np.where(grow)[0].tolist()) | {int(c)}
             matched = False
             for prev_set, streak in self.consistent_groups:
                 if group & prev_set:
@@ -616,14 +629,34 @@ class LoopCloser:
         return True
 
     def _global_ba(self, system):
-        from cubemapslam_tpu.dist import global_ba_problem_from_arena
+        """Post-loop global BA (RunGlobalBundleAdjustment analog,
+        LoopClosing.cpp:644-748). On a multi-device mesh the arena-wide
+        problem is sharded into keyframe blocks and solved SPMD
+        (dist.distributed_bundle_adjust); single device runs it locally."""
+        from cubemapslam_tpu.dist import (distributed_bundle_adjust,
+                                          global_ba_problem_from_arena,
+                                          make_mesh, shard_ba_problem)
         from cubemapslam_tpu.optim.ba import bundle_adjust
         inv_s2 = 1.0 / jnp.asarray(self.cfg.level_sigma2, jnp.float32)
         prob = global_ba_problem_from_arena(self.cam, system.arena, inv_s2)
-        out, inl = bundle_adjust(self.cam, prob, phase_iters=(10,),
-                                 cg_iters=30)
-        kill = prob.obs_valid & ~inl
         K, N = system.arena.n_kf_cap, system.arena.n_feat
+        devs = jax.devices()
+        if len(devs) > 1:
+            prob_s, perm = shard_ba_problem(prob, len(devs),
+                                            return_perm=True)
+            out, inl_s = distributed_bundle_adjust(
+                self.cam, prob_s, make_mesh(devs), phase_iters=(10,),
+                cg_iters=30)
+            # scatter sharded-order inliers back to (K,N) edge order
+            inl_np = np.asarray(inl_s)
+            inl = np.zeros(K * N, bool)
+            real = perm >= 0
+            inl[perm[real]] = inl_np[real]
+            inl = jnp.asarray(inl)
+        else:
+            out, inl = bundle_adjust(self.cam, prob, phase_iters=(10,),
+                                     cg_iters=30)
+        kill = prob.obs_valid & ~inl
         obs = jnp.where(kill.reshape(K, N), SM.NO_LM,
                         system.arena.kf_obs_lm)
         system.arena = system.arena._replace(

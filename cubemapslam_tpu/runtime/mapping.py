@@ -108,8 +108,13 @@ class MappingKernels:
         rays2 = kp2.rays[res.idx]
         X1 = triangulate_rays(rays1, rays2, R21, t21)     # frame-1 coords
         ok = res.ok & jnp.all(jnp.isfinite(X1), axis=-1)
-        # parallax between rays (cpp:286-300)
-        cos_par = jnp.sum(rays1 * rays2, axis=-1)
+        # parallax between the viewing rays in a COMMON frame (the
+        # reference measures the angle at the 3D point between world-frame
+        # normals, LocalMapping.cpp:286-300); dotting each camera's
+        # LOCAL-frame ray would conflate relative rotation with parallax
+        # and reject everything under look-at/orbit motion
+        rays2_in1 = rays2 @ R21                           # R21ᵀ per row
+        cos_par = jnp.sum(rays1 * rays2_in1, axis=-1)
         ok &= cos_par < 0.9998
         # FOV cheirality both frames (cpp:306-318)
         d1 = jnp.linalg.norm(X1, axis=-1)
@@ -285,13 +290,17 @@ class MappingKernels:
         all_fixed = jnp.concatenate(
             [local_valid & (cam_idx == 0), jnp.ones_like(fix_valid)])
         # gauge guard: if neither KF 0 nor any boundary anchor is in the
-        # problem (the whole map became "local"), fix the oldest local KF —
-        # otherwise the window is gauge-free and drifts against the rest of
-        # the map every BA call
+        # problem (the whole map became "local"), fix the temporally oldest
+        # local KF (by frame id — slots are recycled) — otherwise the
+        # window is gauge-free and drifts against the rest of the map.
+        # The monocular SCALE gauge (free whenever <=1 camera is fixed) is
+        # handled inside bundle_adjust by an exact post-solve retraction.
         has_fixed = jnp.any(all_fixed & all_valid)
-        oldest_pos = jnp.argmin(jnp.where(local_valid, cam_idx, K))
-        all_fixed = all_fixed.at[oldest_pos].set(
-            all_fixed[oldest_pos] | ~has_fixed)
+        age_key = jnp.where(local_valid, arena.kf_frame_id[cam_idx],
+                            jnp.iinfo(jnp.int32).max)
+        oldest = jnp.argmin(age_key)
+        all_fixed = all_fixed.at[oldest].set(
+            all_fixed[oldest] | ~has_fixed)
         # gather edges from the 2C keyframe rows
         sub_obs = arena.kf_obs_lm[all_idx]                 # (2C,N)
         sub_ok = ((sub_obs >= 0) & arena.kf_kp_valid[all_idx]
@@ -335,6 +344,66 @@ class MappingKernels:
             obs_rows_new)[:-1]
         return arena._replace(kf_R=kf_R, kf_t=kf_t, lm_pos=lm_pos,
                               kf_obs_lm=kf_obs)
+
+    # ------------------------------------------------------------------
+    # Fused per-keyframe mapping step: the whole LocalMapping::Run body
+    # (cull -> triangulate -> fuse -> local BA -> KF culling) in ONE device
+    # program, with neighbor selection on device. The host dispatches it
+    # fire-and-forget after keyframe insertion, so the next frame's
+    # extraction/render overlaps with mapping on the host side — the
+    # functional-pipeline analog of the reference's LocalMapping thread
+    # (System.cpp:108-128).
+    # ------------------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=(0, 5, 6, 7),
+                       donate_argnums=1)
+    def mapping_step(self, arena: SM.MapArena, slot, kf_counter, frame_id,
+                     n_neighbors: int = 6, max_cams: int = 48,
+                     run_ba: bool = True):
+        """slot: new keyframe arena row. kf_counter: monotonic keyframe
+        count AFTER insertion. frame_id: the keyframe's source frame."""
+        covis = SM.covisibility_matrix(arena)
+        w = covis[slot].at[slot].set(-1)
+        w = jnp.where(arena.kf_valid, w, -1)
+        nb_w, nb_idx = jax.lax.top_k(w, n_neighbors)
+        nb_idx = nb_idx.astype(jnp.int32)
+        nb_ok = nb_w > 0
+
+        arena = self.cull_map_points(arena, kf_counter)
+
+        # triangulate against every neighbor; keep the widest-parallax
+        # winner per feature (committing nearest-neighbor first locks
+        # features to near-zero-baseline triangulations)
+        cands = []
+        for i in range(n_neighbors):
+            Xw, ok, idx2, cos_par = self.triangulate_with_neighbor(
+                arena, slot, nb_idx[i])
+            ok &= nb_ok[i]
+            cands.append((Xw, ok, idx2, jnp.where(ok, cos_par, 2.0)))
+        all_cos = jnp.stack([c[3] for c in cands])
+        winner = jnp.argmin(all_cos, axis=0)
+        for i, (Xw, ok, idx2, _) in enumerate(cands):
+            arena, _ = self.commit_new_landmarks(
+                arena, slot, nb_idx[i], Xw, ok & (winner == i), idx2,
+                kf_counter - 1, frame_id)
+
+        # bidirectional fuse with the top neighbors (SearchInNeighbors)
+        for i in range(min(4, n_neighbors)):
+            def fuse_i(a, i=i):
+                a = self.fuse_pair(a, slot, nb_idx[i])
+                return self.fuse_pair(a, nb_idx[i], slot)
+            arena = jax.lax.cond(nb_ok[i], fuse_i, lambda a: a, arena)
+
+        arena = SM.update_landmark_stats(arena, self.scale_factors)
+        if run_ba:
+            arena = self.local_ba(arena, slot, max_cams)
+            arena = SM.update_landmark_stats(arena, self.scale_factors)
+        arena, n_culled = self.cull_keyframes(arena, slot)
+        # first free keyframe slot (or -1) so the host's NeedNewKeyFrame
+        # check doesn't have to pull the whole validity mask
+        free = ~arena.kf_valid
+        first_free = jnp.where(jnp.any(free), jnp.argmax(free), -1)
+        return arena, jnp.stack([n_culled, first_free.astype(jnp.int32)])
 
     # ------------------------------------------------------------------
     # KeyFrameCulling (LocalMapping.cpp:561-619)

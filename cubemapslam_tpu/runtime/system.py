@@ -354,14 +354,53 @@ class CubemapSLAM:
         return G.se3_compose(self.last.rel_R, self.last.rel_t, R_ref, t_ref)
 
     def _track_frame(self, kp, fid, ts):
-        k = self.kernels
+        """Per-frame tracking. The SLAM path runs as ONE fused device
+        program (motion -> widen -> ref-KF fallback -> TrackLocalMap, all
+        branches on device) with a single packed-scalar fetch; the
+        localization-only path keeps the host state machine (mbVO dual
+        hypothesis needs host-side relocalization interleaving)."""
+        if not self.localization_only:
+            return self._track_frame_slam(kp, fid, ts)
+        return self._track_frame_localization(kp, fid, ts)
+
+    def _predicted_pose(self):
+        """Motion-model pose prediction (Tracking.cpp:626-631)."""
         R_last, t_last = self._last_pose()
-        # pose prediction by the motion model (Tracking.cpp:626-631)
         if self.velocity is not None:
             Rv, tv = self.velocity
             R_pred, t_pred = G.se3_compose(Rv, tv, R_last, t_last)
         else:
             R_pred, t_pred = R_last, t_last
+        return R_last, t_last, R_pred, t_pred
+
+    def _track_frame_slam(self, kp, fid, ts):
+        k = self.kernels
+        R_last, t_last, R_pred, t_pred = self._predicted_pose()
+        self.arena, assoc, outlier, R, t, scalars = k.track_frame_full(
+            self.arena, kp, self.last.assoc, self.last.outlier,
+            self.last.kp.level, R_pred, t_pred, R_last, t_last,
+            jnp.int32(self.ref_kf))
+        if hasattr(scalars, "copy_to_host_async"):
+            scalars.copy_to_host_async()
+        sc = np.asarray(scalars)
+        (n, n_inl, n_final, n_ref, live_kf, first_free,
+         track_ok) = (int(x) for x in sc)
+        if not track_ok or n_final < self.cfg.min_track_inliers:
+            self._set_lost(kp, fid, ts, live_kf=live_kf)
+            return
+        # motion model update (Tracking.cpp:307-316)
+        R_li, t_li = G.se3_inverse(R_last, t_last)
+        self.velocity = G.se3_compose(R, t, R_li, t_li)
+        self._record_frame(kp, assoc, outlier, R, t, fid, ts)
+        self.metrics.append({"frame": fid, "inliers": n_final,
+                             "matches": n, "inliers_mm": n_inl})
+        if self._need_new_keyframe(n_final, n_ref, first_free):
+            self._create_keyframe(kp, assoc, outlier, R, t, fid, ts,
+                                  slot=first_free)
+
+    def _track_frame_localization(self, kp, fid, ts):
+        k = self.kernels
+        R_last, t_last, R_pred, t_pred = self._predicted_pose()
 
         assoc, n, R, t, outlier, n_inl = k.track_motion_fused(
             self.arena, kp, self.last.assoc, self.last.outlier,
@@ -371,7 +410,7 @@ class CubemapSLAM:
                 self.arena, kp, self.last.assoc, self.last.outlier,
                 self.last.kp.level, R_pred, t_pred, radius=30.0)
 
-        if self.localization_only and self.mb_vo:
+        if self.mb_vo:
             # dual-hypothesis VO mode (Tracking.cpp:231-277): keep the
             # motion-model (VO) result in hand while attempting
             # relocalization; the reloc hypothesis wins when both succeed
@@ -399,7 +438,7 @@ class CubemapSLAM:
             R, t, outlier, n_inl = k.optimize_pose(self.arena, kp, assoc,
                                                    R_last, t_last)
         if int(n) < 15 or int(n_inl) < 10:
-            if self.localization_only and int(n) >= 20:
+            if int(n) >= 20:
                 # weak map support but live frame-to-frame tracking: enter
                 # VO mode instead of LOST (TrackWithMotionModel localization
                 # epilogue, Tracking.cpp:670-676)
@@ -412,17 +451,16 @@ class CubemapSLAM:
                 return
             self._set_lost(kp, fid, ts)
             return
-        if self.localization_only:
-            # mbVO update for the NEXT frame (nmatchesMap<10,
-            # Tracking.cpp:670-673); VO mode skips TrackLocalMap
-            self.mb_vo = int(n_inl) < 10
-            if self.mb_vo:
-                R_li, t_li = G.se3_inverse(R_last, t_last)
-                self.velocity = G.se3_compose(R, t, R_li, t_li)
-                self._record_frame(kp, assoc, outlier, R, t, fid, ts)
-                self.metrics.append({"frame": fid, "inliers": int(n_inl),
-                                     "matches": int(n), "vo": True})
-                return
+        # mbVO update for the NEXT frame (nmatchesMap<10,
+        # Tracking.cpp:670-673); VO mode skips TrackLocalMap
+        self.mb_vo = int(n_inl) < 10
+        if self.mb_vo:
+            R_li, t_li = G.se3_inverse(R_last, t_last)
+            self.velocity = G.se3_compose(R, t, R_li, t_li)
+            self._record_frame(kp, assoc, outlier, R, t, fid, ts)
+            self.metrics.append({"frame": fid, "inliers": int(n_inl),
+                                 "matches": int(n), "vo": True})
+            return
 
         # local-map tracking (TrackLocalMap, Tracking.cpp:679-719)
         self.arena, assoc, outlier, R, t, n_final = k.track_local_fused(
@@ -439,17 +477,15 @@ class CubemapSLAM:
         self.metrics.append({"frame": fid, "inliers": n_final_i,
                              "matches": int(n)})
 
-        if not self.localization_only and self._need_new_keyframe(
-                n_final_i):
-            self._create_keyframe(kp, assoc, outlier, R, t, fid, ts)
-
-    def _set_lost(self, kp, fid, ts):
+    def _set_lost(self, kp, fid, ts, live_kf: Optional[int] = None):
         self.state = TrackState.LOST
         # keep last frame for potential relocalization
         self.metrics.append({"frame": fid, "inliers": 0, "matches": 0})
         # reset-if-lost-early uses the LIVE keyframe count
         # (KeyFramesInMap()<=5, Tracking.cpp:296-299)
-        if int(jnp.sum(self.arena.kf_valid)) <= 5:
+        if live_kf is None:
+            live_kf = int(jnp.sum(self.arena.kf_valid))
+        if live_kf <= 5:
             self.reset()
 
     def reset(self):
@@ -479,6 +515,10 @@ class CubemapSLAM:
         trained vocab sees a whole corpus, ORBVocabulary.h:36-37). The BoW
         table is recomputed for every live keyframe afterwards."""
         if not self._vocab_is_bootstrap:
+            return
+        # host-counter gate first: n_kf >= live count, so this avoids any
+        # device fetch until a retrain is at least possible
+        if self.n_kf < self.cfg.vocab_retrain_keyframes:
             return
         valid = np.asarray(self.arena.kf_valid)
         if int(valid.sum()) < self.cfg.vocab_retrain_keyframes:
@@ -547,17 +587,17 @@ class CubemapSLAM:
         free = np.where(~valid)[0]
         return int(free[0]) if len(free) else -1
 
-    def _need_new_keyframe(self, n_inliers: int) -> bool:
-        n_ref = int(jnp.sum(
-            (self.arena.kf_obs_lm[self.ref_kf] >= 0)
-            & self.arena.kf_kp_valid[self.ref_kf]))
+    def _need_new_keyframe(self, n_inliers: int, n_ref: int,
+                           first_free: int) -> bool:
+        """NeedNewKeyFrame (Tracking.cpp:721-774). n_ref and first_free
+        arrive in the per-frame packed scalars — no extra device fetch."""
         frames_since = self.frame_id - self.last_kf_frame_id
         c1a = frames_since >= self.cfg.fps  # mMaxFrames = fps
         c1b = frames_since >= 0             # mMinFrames quirk: always true
         c2 = (n_inliers < n_ref * self.cfg.keyframe_ref_ratio
               and n_inliers > 15)
         want = bool((c1a or c1b) and c2)
-        if want and self._free_kf_slot() < 0:
+        if want and first_free < 0:
             # arena truly full (even culling freed nothing): refuse loudly
             self.arena_full_refusals += 1
             if self.arena_full_refusals == 1:
@@ -569,8 +609,10 @@ class CubemapSLAM:
             return False
         return want
 
-    def _create_keyframe(self, kp, assoc, outlier, R, t, fid, ts):
-        slot = self._free_kf_slot()
+    def _create_keyframe(self, kp, assoc, outlier, R, t, fid, ts,
+                         slot: Optional[int] = None):
+        if slot is None:
+            slot = self._free_kf_slot()
         assert slot >= 0
         self.arena = self.kernels.insert_keyframe(
             self.arena, slot, kp, assoc, outlier, R, t, fid, ts)
@@ -587,49 +629,29 @@ class CubemapSLAM:
         if self.loop_closing_enabled:
             if self.loop_closer.process(self, slot):
                 self.n_loops_closed += 1
+        # Refresh the live frame's associations from the keyframe's
+        # observation row: mapping just fused/culled/triangulated, so the
+        # row holds the redirected + ENRICHED landmark set for exactly this
+        # frame's keypoints (ORB-SLAM2's CheckReplacedInLastFrame pointer
+        # forwarding, plus the new triangulations). Without this the next
+        # frame's motion matcher queries stale landmark ids and starves.
+        self.last.assoc = self.arena.kf_obs_lm[slot]
+        self.last.outlier = jnp.zeros_like(self.last.outlier)
 
     # ------------------------------------------------------------------
     # Local mapping pipeline (LocalMapping::Run body per KF)
     # ------------------------------------------------------------------
 
-    def _local_mapping(self, slot: int, n_triangulate_neighbors: int = 6):
-        m = self.mapping
-        self.arena = m.cull_map_points(self.arena, self.n_kf)
-        # top covisible neighbors for triangulation (cpp:219-224; mono
-        # uses 20, we cap lower and rely on the wider epipolar search)
-        covis = np.asarray(SM.covisibility_matrix(self.arena)[slot])
-        order = np.argsort(-covis)
-        neighbors = [int(i) for i in order[:n_triangulate_neighbors]
-                     if covis[i] > 0 and i != slot]
-        # evaluate all neighbors, then keep the widest-parallax candidate
-        # per feature: committing nearest-neighbor first (the covisibility
-        # order) locks features to near-zero-baseline triangulations and
-        # blocks better ones (the free-keypoint gate)
-        cands = []
-        for nb in neighbors:
-            Xw, ok, idx2, cos_par = m.triangulate_with_neighbor(
-                self.arena, slot, nb)
-            cands.append((nb, Xw, ok, idx2,
-                          jnp.where(ok, cos_par, 2.0)))
-        if cands:
-            all_cos = jnp.stack([c[4] for c in cands])      # (Nn, N)
-            winner = jnp.argmin(all_cos, axis=0)            # widest parallax
-            for i, (nb, Xw, ok, idx2, _) in enumerate(cands):
-                ok_i = ok & (winner == i)
-                self.arena, n_new = m.commit_new_landmarks(
-                    self.arena, slot, nb, Xw, ok_i, idx2, self.n_kf - 1,
-                    int(self.arena.kf_frame_id[slot]))
-        for nb in neighbors[:4]:
-            self.arena = m.fuse_pair(self.arena, slot, nb)
-            self.arena = m.fuse_pair(self.arena, nb, slot)
-        self.arena = SM.update_landmark_stats(self.arena,
-                                              self.kernels.scale_factors)
-        if self.n_kf > 2:
-            self.arena = m.local_ba(self.arena, slot, self.ba_cams)
-            # refresh normals/depth bands for the adjusted geometry
-            self.arena = SM.update_landmark_stats(
-                self.arena, self.kernels.scale_factors)
-        self.arena, n_culled = m.cull_keyframes(self.arena, slot)
+    def _local_mapping(self, slot: int):
+        """One fused fire-and-forget device program (mapping_step); the
+        host never syncs on mapping, so the next frame's host work (render/
+        load/dispatch) overlaps it — the functional analog of the
+        reference's LocalMapping thread (System.cpp:108-128)."""
+        fid = self.last_kf_frame_id
+        self.arena, _info = self.mapping.mapping_step(
+            self.arena, jnp.int32(slot), jnp.int32(self.n_kf),
+            jnp.int32(fid), max_cams=self.ba_cams,
+            run_ba=self.n_kf > 2)
 
     # ------------------------------------------------------------------
     # Output (System::SaveKeyFrameTrajectoryTUM, System.cpp:238-268)

@@ -96,7 +96,8 @@ class TestSlotRecycling:
         slam.last_kf_frame_id = 0
         with warnings.catch_warnings(record=True) as rec:
             warnings.simplefilter("always")
-            assert slam._need_new_keyframe(n_inliers=20) is False
+            assert slam._need_new_keyframe(
+                n_inliers=20, n_ref=cfg.n_features, first_free=-1) is False
         assert slam.arena_full_refusals == 1
         assert any("arena full" in str(w.message) for w in rec)
 
