@@ -1,26 +1,28 @@
-"""Benchmark: tracked frames/s per chip for the per-frame tracking pipeline.
+"""Benchmark: the REAL tracker — CubemapSLAM.track_fisheye end to end.
 
-Measures the hot path of the reference protocol (median tracking time per
-frame, Examples/cubemap_lafida.cpp:145-168): fisheye->cubemap warp + ORB
-extraction + landmark projection matching + pose optimization, at the Lafida
-cam0 working configuration (650^2 faces, 2000 features, 8 levels).
+Reference protocol (Examples/cubemap_lafida.cpp:128-179 +
+Scripts/runCubemapLafida.sh): per frame, warp the fisheye to the cubemap
+and call TrackCubemap; report the MEDIAN per-frame tracking time and the
+tracked-frames ratio. This drives the full product pipeline at the Lafida
+cam0 working configuration (650^2 faces, 2000 features, 8 levels):
 
-Pipeline shape (tuned for the TPU tunnel this runs over, where host->device
-transfers serialize with executes, i.e. upload cost ~ bytes):
-  * the RAW fisheye uploads as uint8 (0.36MB vs 2.1MB warped faces);
-  * the warp runs ON DEVICE via the pallas two-pass/exact tile kernels
-    (cubemapslam_tpu/warp_tpu.py, ~1.3ms), fused into the same jitted
-    program as face assembly + extract + match + pose optimization;
-  * frames run depth-4 pipelined, syncing only on the scalar inlier count
-    4 frames back.
+  raw-fisheye upload (0.36MB) -> on-device pallas warp -> ORB extraction
+  -> fused motion/widen/fallback/TrackLocalMap program (one packed-scalar
+  fetch per frame) -> keyframe insertion + fire-and-forget mapping step
+  (triangulation + fuse + local BA + culling) -> loop detection.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Frames are rendered offline by the synthetic billboard renderer
+(cubemapslam_tpu/synth.py) along a gentle forward trajectory with exact
+ground truth; rendering happens before the timed loop.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 vs_baseline is against the 30 frames/s camera rate the reference targets
 ("real-time", README.md:53) — the repo records no concrete C++ number
 (BASELINE.md).
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -30,102 +32,55 @@ def main():
     import jax
     import jax.numpy as jnp
     from cubemapslam_tpu.config import SlamConfig
-    from cubemapslam_tpu.camera import CubemapCamera, cubemap_uv_to_in_face
-    from cubemapslam_tpu import geometry as G
-    from cubemapslam_tpu import matching as M
-    from cubemapslam_tpu import warp_tpu as WT
-    from cubemapslam_tpu.features.extractor import extract_orb, plan_levels
-    from cubemapslam_tpu.optim.pose_opt import pose_optimization
+    from cubemapslam_tpu.runtime.system import CubemapSLAM
+    from cubemapslam_tpu.synth import (Renderer, forward_trajectory,
+                                       make_world)
+    from cubemapslam_tpu.warp import fov_mask
 
     cfg = SlamConfig()  # Lafida cam0 defaults: 650^2 faces, 2000 features
-    cam = CubemapCamera.from_config(cfg)
-    params = plan_levels(cfg.n_features, cfg.n_levels, cfg.scale_factor,
-                         (cfg.cube_h, cfg.cube_w))
-    scale_factors = jnp.asarray(cfg.scale_factors, jnp.float32)
-    inv_sigma2 = 1.0 / jnp.asarray(cfg.level_sigma2, jnp.float32)
-    dw = WT.DeviceWarp(cam, cfg.cube_w, cfg.cube_h)
+    slam = CubemapSLAM(cfg)
+    mask = fov_mask(slam.cam, cfg.cube_w, cfg.cube_h)
 
-    FW, FH = cfg.cube_face_w, cfg.cube_face_h
-    OFF = [(1, 1), (0, 1), (2, 1), (1, 0), (1, 2)]  # cross layout offsets
-
-    @jax.jit
-    def frame_step(fisheye_u8, wargs, lm_pos, lm_desc, lm_level, lm_valid,
-                   R0, t0):
-        faces = WT.warp_faces_device(dw.plan, wargs, fisheye_u8)
-        cube = jnp.zeros((cfg.cube_h, cfg.cube_w), jnp.float32)
-        for i, (ox, oy) in enumerate(OFF):
-            cube = jax.lax.dynamic_update_slice(cube, faces[i],
-                                                (oy * FH, ox * FW))
-        kp = extract_orb(params, cam, cube,
-                         ini_th=cfg.ini_th_fast, min_th=cfg.min_th_fast)
-        Xc = G.se3_apply(R0, t0, lm_pos)
-        res = M.search_by_projection(
-            Xc, lm_desc, lm_level, lm_valid, kp, cam, scale_factors,
-            15.0, level_lo_off=-1, level_hi_off=1)
-        assoc = jnp.full((kp.n,), -1, jnp.int32).at[res.idx].max(
-            jnp.where(res.ok,
-                      jnp.arange(lm_pos.shape[0], dtype=jnp.int32), -1))
-        Xw = lm_pos[jnp.maximum(assoc, 0)]
-        uv_face = cubemap_uv_to_in_face(cam, kp.uv)
-        inv_s2 = inv_sigma2[jnp.clip(kp.level, 0, cfg.n_levels - 1)]
-        R, t, inl, n = pose_optimization(cam, R0, t0, Xw, kp.face,
-                                         uv_face, inv_s2, assoc >= 0)
-        return R, t, n
-
+    # ---- offline: render the sequence (not timed) ----
     rng = np.random.default_rng(0)
-    # 4 distinct frames cycled (identical inputs could hide work behind
-    # any transport-level memoization; real sequences vary every frame)
-    fisheyes = [rng.uniform(0, 255, (cfg.fisheye_height, cfg.fisheye_width)
-                            ).astype(np.uint8) for _ in range(4)]
+    n_frames = 220
+    poses = forward_trajectory(n_frames, step=0.02, yaw_rate=0.002)
+    centers = np.stack([-R.T @ t for R, t in poses])
+    pts, patches = make_world(rng, n=1200, centers=centers,
+                              fx=float(slam.cam.fxycxy[0]))
+    ren = Renderer(slam.cam, cfg, "fisheye")
+    t0 = time.time()
+    frames = [ren.render(pts, patches, R, t).astype(np.uint8)
+              for R, t in poses]
+    print(f"# rendered {n_frames} fisheye frames "
+          f"({time.time() - t0:.0f}s)", file=sys.stderr,
+          flush=True)
 
-    n_lm = 8192
-    d = rng.normal(size=(n_lm, 3))
-    d /= np.linalg.norm(d, axis=1, keepdims=True)
-    lm_pos = jnp.asarray(d * rng.uniform(3, 8, (n_lm, 1)), jnp.float32)
-    lm_desc = jnp.asarray(
-        rng.integers(0, 2 ** 32, (n_lm, 8), dtype=np.uint32))
-    lm_level = jnp.zeros(n_lm, jnp.int32)
-    lm_valid = jnp.ones(n_lm, bool)
-    R0 = jnp.eye(3)
-    t0 = jnp.zeros(3)
-
-    # warmup / compile
-    out = frame_step(fisheyes[0], dw.args, lm_pos, lm_desc, lm_level,
-                     lm_valid, R0, t0)
-    _ = int(out[2])
-
-    # Pipelined steady state: dispatch is async; the only sync is pulling
-    # the scalar inlier count of the frame DEPTH back. fps is reported from
-    # the MEDIAN frame-to-frame time (the reference's headline metric is
-    # median tracking time, cubemap_lafida.cpp:167, and the tunnel adds
-    # heavy-tailed jitter).
-    import collections
-
-    DEPTH = 4
-    n_iters = 80
-    inflight = collections.deque()
+    # ---- timed loop: the real tracker ----
+    warmup = 30
     times = []
-    t_prev = time.perf_counter()
-    for i in range(n_iters):
-        cur = frame_step(fisheyes[i % 4], dw.args, lm_pos, lm_desc,
-                         lm_level, lm_valid, R0, t0)
-        cur[2].copy_to_host_async()
-        inflight.append(cur)
-        if len(inflight) >= DEPTH:
-            _ = int(inflight.popleft()[2])
-        t_now = time.perf_counter()
-        times.append(t_now - t_prev)
-        t_prev = t_now
-    while inflight:
-        _ = int(inflight.popleft()[2])
-    dt = float(np.median(times[DEPTH:]))
-    fps = 1.0 / dt
+    for k, img in enumerate(frames):
+        t1 = time.perf_counter()
+        slam.track_fisheye(img, k / cfg.fps, mask=mask)
+        dt = time.perf_counter() - t1
+        if k >= warmup:
+            times.append(dt)
+        if k % 50 == 0:
+            print(f"# frame {k}: state={slam.state.name} "
+                  f"kf={slam.n_kf} {dt*1000:.0f}ms",
+                  file=sys.stderr, flush=True)
 
+    med = float(np.median(times))
+    fps = 1.0 / med
+    tracked_ratio = slam.tracked_frames / max(slam.total_frames, 1)
     print(json.dumps({
-        "metric": "tracking_frames_per_second_per_chip",
+        "metric": "real_tracker_frames_per_second_per_chip",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 30.0, 3),
+        "median_ms": round(med * 1000.0, 2),
+        "tracked_frames_ratio": round(tracked_ratio, 3),
+        "keyframes": slam.n_kf,
     }))
 
 

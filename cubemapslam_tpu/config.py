@@ -99,10 +99,16 @@ class SlamConfig:
     min_track_inliers_after_reloc: int = 50  # Tracking.cpp:712
     max_local_keyframes: int = 80   # Tracking.cpp:934
     keyframe_ref_ratio: float = 0.95  # Tracking.cpp:757
+    # constant-velocity extrapolation gain: 1.0 = reference motion model
+    # (Tracking.cpp:626-631), 0.0 = predict from the last pose. See
+    # runtime/system._predicted_pose for the stability analysis.
+    motion_model_damping: float = 1.0
 
     # --- Chi-square gates ---
     chi2_mono: float = 5.991
-    chi2_epipolar: float = 3.84
+    # 2x the reference's single-sided 3.84 (CheckDistEpipolarLine): both
+    # rays carry pixel noise (see matching.search_for_triangulation)
+    chi2_epipolar: float = 7.68
     chi2_sim3: float = 9.21
 
     # --- Map-point culling (LocalMapping.cpp:175-206) ---

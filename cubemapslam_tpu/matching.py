@@ -280,7 +280,8 @@ def search_for_triangulation(kp1, kp2, cam: CubemapCamera,
                              epipole_guard_deg: float = 3.0,
                              check_orientation: bool = True,
                              th_low: float = TH_LOW,
-                             histo_bin_deg: float = 12.0) -> MatchResult:
+                             histo_bin_deg: float = 12.0,
+                             chi2_th: float = 7.68) -> MatchResult:
     """Epipolar-gated matching for new-point triangulation
     (SearchForTriangulation cpp:971-1125). The reference walks BoW-aligned
     feature groups; the TPU version computes the full gated Hamming matrix —
@@ -293,7 +294,13 @@ def search_for_triangulation(kp1, kp2, cam: CubemapCamera,
     bits2 = unpack_descriptors(kp2.desc)
     dist = hamming_matrix(bits1, bits2)
     chi2 = epipolar_chi2(cam, E12, kp1.rays, kp2.rays, kp2.uv, level_sigma2)
-    gate = (chi2 < 3.84) & kp1.valid[:, None] & kp2.valid[None, :]
+    # chi2_th default 2x the reference's 3.84 (ORBMatcher.cpp:1040): the
+    # sigma model (like the reference's) puts noise only on ray2, but ray1
+    # perturbs the epipolar PLANE by the same amount — measured on
+    # map-verified pairs, single-sided 3.84 rejects ~60% of true matches.
+    # The triangulation reprojection gates (5.991 both frames) keep
+    # precision downstream.
+    gate = (chi2 < chi2_th) & kp1.valid[:, None] & kp2.valid[None, :]
     if epipole_ray2 is not None:
         # reject frame-2 keypoints whose ray is within the guard cone of the
         # epipole (triangulation is ill-conditioned there; cpp:1040-1053)

@@ -96,7 +96,8 @@ class TrackingKernels:
     @functools.partial(jax.jit, static_argnums=(0,), static_argnames=("radius",))
     def track_last_frame(self, arena: SM.MapArena, kp_cur: Keypoints,
                          last_assoc, last_outlier, last_kp_level,
-                         R_pred, t_pred, radius: float = 15.0):
+                         last_kp_angle, R_pred, t_pred,
+                         radius: float = 15.0):
         """Project last frame's landmarks into the predicted pose and match
         (SearchByProjection frame-vs-last, ORBMatcher.cpp:130-251).
 
@@ -107,11 +108,15 @@ class TrackingKernels:
         has &= jnp.where(lm >= 0, arena.lm_valid[jnp.maximum(lm, 0)], False)
         Xw = arena.lm_pos[jnp.maximum(lm, 0)]
         Xc = G.se3_apply(R_pred, t_pred, Xw)
+        # rotation-consistency ON: reference parity (the frame-vs-last
+        # SearchByProjection runs the 12-degree histogram filter,
+        # ORBMatcher.cpp:135-251) — it prunes the rotation-biased false
+        # matches that otherwise confirm a drifting motion prediction
         res = M.search_by_projection(
             Xc, arena.lm_desc[jnp.maximum(lm, 0)], last_kp_level, has,
             kp_cur, self.cam, self.scale_factors, radius,
             level_lo_off=-1, level_hi_off=1, th=self.th_high,
-            query_angles=None, check_orientation=False)
+            query_angles=last_kp_angle, check_orientation=True)
         # per-current-kp landmark assoc; scatter-max so losing queries
         # (which carry -1) never clobber a winner's entry
         assoc = jnp.full((kp_cur.n,), SM.NO_LM, jnp.int32)
@@ -251,11 +256,12 @@ class TrackingKernels:
                        static_argnames=("radius",))
     def track_motion_fused(self, arena: SM.MapArena, kp_cur: Keypoints,
                            last_assoc, last_outlier, last_kp_level,
-                           R_pred, t_pred, radius: float = 15.0):
+                           last_kp_angle, R_pred, t_pred,
+                           radius: float = 15.0):
         """track_last_frame + optimize_pose in one program."""
         assoc, n = self.track_last_frame(
             arena, kp_cur, last_assoc, last_outlier, last_kp_level,
-            R_pred, t_pred, radius=radius)
+            last_kp_angle, R_pred, t_pred, radius=radius)
         R, t, outlier, n_inl = self.optimize_pose(arena, kp_cur, assoc,
                                                   R_pred, t_pred)
         return assoc, n, R, t, outlier, n_inl
@@ -277,7 +283,8 @@ class TrackingKernels:
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def track_frame_full(self, arena: SM.MapArena, kp_cur: Keypoints,
                          last_assoc, last_outlier, last_kp_level,
-                         R_pred, t_pred, R_last, t_last, ref_kf):
+                         last_kp_angle, R_pred, t_pred, R_last, t_last,
+                         ref_kf):
         """The WHOLE per-frame SLAM tracking path as one device program:
         motion-model match (radius 15) -> widen to 30 if <20 matches
         (Tracking.cpp:641-648) -> reference-KF fallback if still <20
@@ -296,12 +303,14 @@ class TrackingKernels:
         """
         st = self.track_motion_fused(arena, kp_cur, last_assoc,
                                      last_outlier, last_kp_level,
-                                     R_pred, t_pred, radius=15.0)
+                                     last_kp_angle, R_pred, t_pred,
+                                     radius=15.0)
 
         def widen(_):
             return self.track_motion_fused(arena, kp_cur, last_assoc,
                                            last_outlier, last_kp_level,
-                                           R_pred, t_pred, radius=30.0)
+                                           last_kp_angle, R_pred, t_pred,
+                                           radius=30.0)
 
         st = jax.lax.cond(st[1] < 20, widen, lambda _: st, None)
 

@@ -103,7 +103,8 @@ class MappingKernels:
                                        self.cfg.n_levels - 1)],
             free1=free1, free2=free2, epipole_ray2=e2,
             epipole_guard_deg=1.0, th_low=self.th_low,
-            histo_bin_deg=self.histo_bin)
+            histo_bin_deg=self.histo_bin,
+            chi2_th=float(self.cfg.chi2_epipolar))
         rays1 = kp1.rays
         rays2 = kp2.rays[res.idx]
         X1 = triangulate_rays(rays1, rays2, R21, t21)     # frame-1 coords
@@ -409,15 +410,33 @@ class MappingKernels:
     # KeyFrameCulling (LocalMapping.cpp:561-619)
     # ------------------------------------------------------------------
 
-    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
-    def cull_keyframes(self, arena: SM.MapArena, center_kf):
-        covis = SM.covisibility_matrix(arena)
-        local = covis[center_kf] >= self.cfg.covisibility_weight_th
-        n_red, n_tot = SM.redundant_keyframe_scores(arena)
-        frac = n_red.astype(jnp.float32) / jnp.maximum(
-            n_tot.astype(jnp.float32), 1.0)
-        cull = (local & arena.kf_valid
-                & (frac > self.cfg.kf_culling_redundant_ratio))
-        cull = cull.at[0].set(False).at[center_kf].set(False)
-        return arena._replace(kf_valid=arena.kf_valid & ~cull), jnp.sum(
-            cull.astype(jnp.int32))
+    @functools.partial(jax.jit, static_argnums=(0, 3), donate_argnums=1)
+    def cull_keyframes(self, arena: SM.MapArena, center_kf,
+                       max_culls: int = 3):
+        """Cull up to ``max_culls`` redundant keyframes, ONE AT A TIME with
+        redundancy recomputed between culls. Redundancy is interdependent —
+        two KFs each redundant GIVEN the other must not go in one batch
+        (their landmarks would lose all observers). The reference's loop
+        erases sequentially and re-reads live observation counts
+        (LocalMapping.cpp:561-619); a few sequential rounds per mapping
+        step keep pace with one insertion per frame."""
+        local0 = SM.covisibility_matrix(arena)[center_kf] \
+            >= self.cfg.covisibility_weight_th
+
+        def one(carry, _):
+            kf_valid, n = carry
+            a = arena._replace(kf_valid=kf_valid)
+            n_red, n_tot = SM.redundant_keyframe_scores(a)
+            frac = n_red.astype(jnp.float32) / jnp.maximum(
+                n_tot.astype(jnp.float32), 1.0)
+            elig = (local0 & kf_valid
+                    & (frac > self.cfg.kf_culling_redundant_ratio))
+            elig = elig.at[0].set(False).at[center_kf].set(False)
+            worst = jnp.argmax(jnp.where(elig, frac, -1.0))
+            any_cull = jnp.any(elig)
+            kf_valid = kf_valid.at[worst].set(kf_valid[worst] & ~any_cull)
+            return (kf_valid, n + any_cull.astype(jnp.int32)), None
+
+        (kf_valid, n_culled), _ = jax.lax.scan(
+            one, (arena.kf_valid, jnp.int32(0)), None, length=max_culls)
+        return arena._replace(kf_valid=kf_valid), n_culled

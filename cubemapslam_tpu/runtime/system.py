@@ -364,10 +364,24 @@ class CubemapSLAM:
         return self._track_frame_localization(kp, fid, ts)
 
     def _predicted_pose(self):
-        """Motion-model pose prediction (Tracking.cpp:626-631)."""
+        """Motion-model pose prediction (Tracking.cpp:626-631).
+
+        cfg.motion_model_damping scales the extrapolated twist: 1.0 is the
+        reference's constant-velocity model; 0.0 predicts from the last
+        pose. Pose optimization retains a small attraction toward its
+        initialization (robust-kernel inlier partitioning), and under
+        full extrapolation that bias feeds back on itself — per-frame
+        error e grows like (1+beta)^k once per-frame motion noise is large
+        relative to the face focal (measured on 160-px-face synthetics:
+        x1.5/frame rotation-error growth, while damping 0 merely drifts
+        linearly). At dataset scale (650^2 faces, sub-degree per-frame
+        motion) the loop gain is < 1 and 1.0 behaves like the reference."""
         R_last, t_last = self._last_pose()
-        if self.velocity is not None:
+        a = float(self.cfg.motion_model_damping)
+        if self.velocity is not None and a > 0.0:
             Rv, tv = self.velocity
+            if a < 1.0:
+                Rv, tv = G.se3_exp(a * G.se3_log(Rv, tv))
             R_pred, t_pred = G.se3_compose(Rv, tv, R_last, t_last)
         else:
             R_pred, t_pred = R_last, t_last
@@ -378,8 +392,8 @@ class CubemapSLAM:
         R_last, t_last, R_pred, t_pred = self._predicted_pose()
         self.arena, assoc, outlier, R, t, scalars = k.track_frame_full(
             self.arena, kp, self.last.assoc, self.last.outlier,
-            self.last.kp.level, R_pred, t_pred, R_last, t_last,
-            jnp.int32(self.ref_kf))
+            self.last.kp.level, self.last.kp.angle, R_pred, t_pred,
+            R_last, t_last, jnp.int32(self.ref_kf))
         if hasattr(scalars, "copy_to_host_async"):
             scalars.copy_to_host_async()
         sc = np.asarray(scalars)
@@ -404,11 +418,13 @@ class CubemapSLAM:
 
         assoc, n, R, t, outlier, n_inl = k.track_motion_fused(
             self.arena, kp, self.last.assoc, self.last.outlier,
-            self.last.kp.level, R_pred, t_pred, radius=15.0)
+            self.last.kp.level, self.last.kp.angle, R_pred, t_pred,
+            radius=15.0)
         if int(n) < 20:  # widen the window (Tracking.cpp:641-648)
             assoc, n, R, t, outlier, n_inl = k.track_motion_fused(
                 self.arena, kp, self.last.assoc, self.last.outlier,
-                self.last.kp.level, R_pred, t_pred, radius=30.0)
+                self.last.kp.level, self.last.kp.angle, R_pred, t_pred,
+                radius=30.0)
 
         if self.mb_vo:
             # dual-hypothesis VO mode (Tracking.cpp:231-277): keep the

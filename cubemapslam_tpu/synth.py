@@ -35,13 +35,15 @@ PATCH = 14  # texture patch side length (pixels of the texture map)
 
 def make_world(rng: np.random.Generator, n: int = 500,
                r_lo: float = 2.5, r_hi: float = 6.0,
-               centers: Optional[np.ndarray] = None) -> Tuple[np.ndarray,
-                                                              Dict]:
+               centers: Optional[np.ndarray] = None,
+               fx: float = 80.0) -> Tuple[np.ndarray, Dict]:
     """Random textured billboards on a shell around the trajectory.
 
     centers: optional (M,3) trajectory waypoints — billboards are placed on
     shells around randomly chosen waypoints so long trajectories stay inside
-    textured surroundings.
+    textured surroundings. fx: target face focal length in pixels —
+    billboards are sized to span ~PATCH pixels at their initial distance
+    (pass cfg.cube_face_w/2 when rendering at non-test resolutions).
     """
     d = rng.normal(size=(n, 3))
     d /= np.linalg.norm(d, axis=1, keepdims=True)
@@ -50,13 +52,24 @@ def make_world(rng: np.random.Generator, n: int = 500,
     if centers is not None:
         anchor = np.asarray(centers)[rng.integers(0, len(centers), n)]
         pts = (pts + anchor).astype(np.float32)
-    # low-frequency unique texture per billboard
-    half = rng.uniform(30, 255, (n, PATCH // 2, PATCH // 2)).astype(
-        np.float32)
-    patches = np.repeat(np.repeat(half, 2, axis=1), 2, axis=2)
-    patches = (patches
-               + np.roll(patches, 1, 1) + np.roll(patches, -1, 1)
-               + np.roll(patches, 1, 2) + np.roll(patches, -1, 2)) / 5.0
+    # blocky high-contrast texture per billboard: ~3px cells give strong,
+    # viewpoint-stable FAST corners and repeatable rBRIEF descriptors (the
+    # earlier smoothed-blob texture produced weak corners whose descriptors
+    # decayed within ~20 degrees of viewpoint change, starving wide-baseline
+    # matching and loop detection)
+    cells = rng.uniform(15, 240, (n, 5, 5)).astype(np.float32)
+    patches = np.repeat(np.repeat(cells, 3, axis=1), 3, axis=2)
+    patches = patches[:, :PATCH, :PATCH]
+    # shading ramp in a random direction: balanced random texture has a
+    # centroid ~at the patch center, making the IC orientation pure noise
+    # (measured ~18deg angle jitter frame-to-frame -> rBRIEF bin flips ->
+    # Hamming >60 for re-detected corners); a dominant gradient pins it
+    gdir = rng.uniform(0.0, 2.0 * np.pi, n).astype(np.float32)
+    grid = (np.arange(PATCH, dtype=np.float32) / (PATCH - 1)) - 0.5
+    ramp = (1.0 + 0.9 * (np.cos(gdir)[:, None, None] * grid[None, None, :]
+                         + np.sin(gdir)[:, None, None]
+                         * grid[None, :, None]))
+    patches = np.clip(patches * ramp, 0.0, 255.0)
     # world tangent frames + world size (~PATCH px at the initial distance
     # for a fx=80 face)
     nrm = d.astype(np.float32)
@@ -65,7 +78,12 @@ def make_world(rng: np.random.Generator, n: int = 500,
     e1 = np.cross(nrm, a)
     e1 /= np.linalg.norm(e1, axis=1, keepdims=True)
     e2 = np.cross(nrm, e1)
-    size = (PATCH / 80.0) * r[:, 0]
+    # 2.5x the descriptor support: rBRIEF samples a 31px patch, so a
+    # billboard must span ~35px at its working distance or most pattern
+    # comparisons hit flat background and the descriptor's entropy sits in
+    # a few brittle bits (measured: ~60% match loss per 2.6deg viewpoint
+    # step at 14px; stable at 35px)
+    size = (2.5 * PATCH / fx) * r[:, 0]
     return pts, {"tex": patches, "n": nrm, "e1": e1.astype(np.float32),
                  "e2": e2.astype(np.float32),
                  "size": size.astype(np.float32)}
@@ -206,12 +224,19 @@ def forward_trajectory(n_frames: int, step: float = 0.12,
 
 def loop_trajectory(n_frames: int, radius: float = 3.0,
                     n_loops: float = 1.15,
-                    bob: float = 0.0) -> List[Tuple[np.ndarray, np.ndarray]]:
+                    bob: float = 0.0,
+                    facing: str = "center"
+                    ) -> List[Tuple[np.ndarray, np.ndarray]]:
     """Closed circuit with a genuine revisit: the camera travels a circle of
-    ``radius`` in the x-z plane while looking toward the circle's center
-    (so the revisit re-observes the same scene region), covering
-    ``n_loops`` revolutions (n_loops > 1 revisits the start with accumulated
-    drift — the loop-closure scenario). Ground truth for ATE."""
+    ``radius`` in the x-z plane, covering ``n_loops`` revolutions
+    (n_loops > 1 revisits the start with accumulated drift — the
+    loop-closure scenario). Ground truth for ATE.
+
+    facing: "center" keeps the optical axis toward the circle's far side
+    (fixating orbit); "tangent" points it along the direction of travel —
+    the vehicle-loop geometry of the reference's loop2/parkinglot
+    sequences (Scripts/runCubemapLoop2*.sh), with translation-dominant
+    optical flow."""
     poses = []
     for k in range(n_frames):
         phi = 2.0 * np.pi * n_loops * k / n_frames
@@ -219,7 +244,6 @@ def loop_trajectory(n_frames: int, radius: float = 3.0,
         t_wc = np.array([radius * np.sin(phi),
                          bob * np.sin(3.0 * phi),
                          radius * (1.0 - np.cos(phi))], np.float32)
-        # yaw so the optical axis keeps facing the circle's far side
-        R = _yaw(phi)
-        poses.append(_pose(R, t_wc))
+        yaw = phi if facing == "center" else phi - 0.5 * np.pi
+        poses.append(_pose(_yaw(yaw), t_wc))
     return poses
