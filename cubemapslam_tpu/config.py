@@ -103,6 +103,13 @@ class SlamConfig:
     # (Tracking.cpp:626-631), 0.0 = predict from the last pose. See
     # runtime/system._predicted_pose for the stability analysis.
     motion_model_damping: float = 1.0
+    # minimum frames between keyframes BEYOND the reference's conditions:
+    # emulates the reference's LocalMapping-busy refusal (mono
+    # NeedNewKeyFrame returns false while the mapper is occupied,
+    # Tracking.cpp:745-760) in this synchronous runtime, where the mapper
+    # is otherwise always "idle" and the mMinFrames=0 quirk admits a
+    # keyframe every frame. 0 = reference quirk behavior.
+    min_keyframe_gap: int = 0
 
     # --- Chi-square gates ---
     chi2_mono: float = 5.991

@@ -608,6 +608,10 @@ class CubemapSLAM:
         """NeedNewKeyFrame (Tracking.cpp:721-774). n_ref and first_free
         arrive in the per-frame packed scalars — no extra device fetch."""
         frames_since = self.frame_id - self.last_kf_frame_id
+        # mapping-busy emulation (frames_since is 2 on the very next frame
+        # after an insertion: frame_id is post-incremented)
+        if frames_since < 2 + self.cfg.min_keyframe_gap:
+            return False
         c1a = frames_since >= self.cfg.fps  # mMaxFrames = fps
         c1b = frames_since >= 0             # mMinFrames quirk: always true
         c2 = (n_inliers < n_ref * self.cfg.keyframe_ref_ratio
