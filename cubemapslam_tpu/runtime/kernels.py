@@ -365,7 +365,8 @@ class TrackingKernels:
         lvl_sig2 = self.level_sigma2[
             jnp.clip(kp_cur.level, 0, self.cfg.n_levels - 1)]
 
-        def one(c, ok_c, key):
+        def one(args):
+            c, ok_c, key = args
             assoc, n = self.track_reference_kf(arena, kp_cur, c)
             has = (assoc >= 0) & kp_cur.valid
             pw = arena.lm_pos[jnp.maximum(assoc, 0)]
@@ -377,7 +378,10 @@ class TrackingKernels:
             good = ok_c & (n >= 15) & res.success & (n2 >= 10)
             return assoc, R, t, outlier, jnp.where(good, n2, -1)
 
-        return jax.vmap(one)(cand_idx, cand_ok, keys)
+        # lax.map (sequential), NOT vmap: vmapping the PnP RANSAC over the
+        # candidates lets XLA materialize a (C * iters * N, 3, 3) broadcast
+        # whose (4,128)-tiled layout is ~18GB at the Lafida working scale
+        return jax.lax.map(one, (cand_idx, cand_ok, keys))
 
     @functools.partial(jax.jit, static_argnums=0)
     def reloc_widen_fused(self, arena: SM.MapArena, kp_cur: Keypoints,
