@@ -37,7 +37,11 @@ def main():
                                        make_world)
     from cubemapslam_tpu.warp import fov_mask
 
-    cfg = SlamConfig()  # Lafida cam0 defaults: 650^2 faces, 2000 features
+    # Lafida cam0 defaults: 650^2 faces, 2000 features. damping 0: the
+    # rendered synthetic at ~5fps-equivalent motion sits in the regime
+    # where full constant-velocity extrapolation is a positive feedback
+    # loop (NOTES_TPU.md round 3) — measured on this exact sequence
+    cfg = SlamConfig(motion_model_damping=0.0)
     slam = CubemapSLAM(cfg)
     mask = fov_mask(slam.cam, cfg.cube_w, cfg.cube_h)
 

@@ -336,16 +336,37 @@ class TrackingKernels:
         arena, assoc_f, outlier_f, R_f, t_f, n_final = jax.lax.cond(
             track_ok, do_local, skip_local, arena)
 
-        n_ref_obs = jnp.sum(((arena.kf_obs_lm[ref_kf] >= 0)
-                             & arena.kf_kp_valid[ref_kf]).astype(jnp.int32))
+        # NeedNewKeyFrame's reference count tracks MATURE map points only:
+        # nRefMatches = mpReferenceKF->TrackedMapPoints(nMinObs) with
+        # nMinObs=3 (2 while the map has <=2 KFs), Tracking.cpp:741-748.
+        # Counting every observation makes c2 fire every frame (a fresh
+        # ref KF has mostly young points), degenerating into one keyframe
+        # per frame and mapping-dominated runtime.
         live_kf = jnp.sum(arena.kf_valid.astype(jnp.int32))
+        cnt = SM.observation_counts(arena)
+        row = arena.kf_obs_lm[ref_kf]
+        row_ok = (row >= 0) & arena.kf_kp_valid[ref_kf]
+        row_ok &= jnp.where(row >= 0,
+                            arena.lm_valid[jnp.maximum(row, 0)], False)
+        min_obs = jnp.where(live_kf > 2, 3, 2)
+        n_ref_obs = jnp.sum(
+            (row_ok & (cnt[jnp.maximum(row, 0)] >= min_obs))
+            .astype(jnp.int32))
         free = ~arena.kf_valid
         first_free = jnp.where(jnp.any(free),
                                jnp.argmax(free).astype(jnp.int32),
                                jnp.int32(-1))
         scalars = jnp.stack([n, n_inl, n_final, n_ref_obs, live_kf,
                              first_free, track_ok.astype(jnp.int32)])
-        return arena, assoc_f, outlier_f, R_f, t_f, scalars
+        # motion-model velocity (Tracking.cpp:307-316) and the ref-KF-
+        # relative pose, computed ON DEVICE so the host never dispatches
+        # per-frame 3x3 algebra over the tunnel
+        R_li, t_li = G.se3_inverse(R_last, t_last)
+        vel_R, vel_t = G.se3_compose(R_f, t_f, R_li, t_li)
+        R_ri, t_ri = G.se3_inverse(arena.kf_R[ref_kf], arena.kf_t[ref_kf])
+        rel_R, rel_t = G.se3_compose(R_f, t_f, R_ri, t_ri)
+        return (arena, assoc_f, outlier_f, R_f, t_f, scalars,
+                vel_R, vel_t, rel_R, rel_t)
 
     # ------------------------------------------------------------------
     # Relocalization (Tracking::Relocalization, Tracking.cpp:990-1151):
