@@ -199,7 +199,10 @@ class TrackingKernels:
         # compact to fixed max_local indices (score: observation counts)
         score = jnp.where(lm_local, 1.0, -1.0)
         sel_score, sel = jax.lax.top_k(score, min(max_local, L))
-        return sel.astype(jnp.int32), sel_score > 0, local_mask
+        # pKFmax: the KF sharing the most observations with this frame
+        # (Tracking.cpp:930-933; becomes mpReferenceKF, Tracking.cpp:938)
+        pkf_max = jnp.argmax(votes).astype(jnp.int32)
+        return sel.astype(jnp.int32), sel_score > 0, local_mask, pkf_max
 
     @functools.partial(jax.jit, static_argnums=0)
     def search_local_points(self, arena: SM.MapArena, kp_cur: Keypoints,
@@ -272,13 +275,13 @@ class TrackingKernels:
         """TrackLocalMap in one program: local selection + projection
         search + pose optimization + visible/found counter updates."""
         assoc = jnp.where(outlier, SM.NO_LM, assoc)
-        sel, sel_ok, _ = self.select_local_landmarks(arena, assoc)
+        sel, sel_ok, _, pkf_max = self.select_local_landmarks(arena, assoc)
         assoc, vis_add = self.search_local_points(arena, kp_cur, assoc,
                                                   sel, sel_ok, R, t)
         R, t, outlier, n_final = self.optimize_pose(arena, kp_cur, assoc,
                                                     R, t)
         arena = self.update_found_counters(arena, assoc, outlier, vis_add)
-        return arena, assoc, outlier, R, t, n_final
+        return arena, assoc, outlier, R, t, n_final, pkf_max
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def track_frame_full(self, arena: SM.MapArena, kp_cur: Keypoints,
@@ -295,9 +298,10 @@ class TrackingKernels:
         tunnel — the reference hides stage latency with threads,
         System.cpp:108-128; here the device queue stays full instead).
 
-        Returns (arena, assoc, outlier, R, t, scalars) with scalars =
-        [n_matches, n_inliers, n_final, n_ref_obs, live_kf,
-        first_free_slot, track_ok]; n_final/arena counters only updated
+        Returns (arena, assoc, outlier, R, t, scalars, vel_R, vel_t,
+        rel_R, rel_t) with scalars = [n_matches, n_inliers, n_final,
+        n_ref_obs, live_kf, first_free_slot, track_ok, new_ref_kf
+        (TrackLocalMap's pKFmax)]; n_final/arena counters only updated
         when track_ok. first_free_slot (-1 if the arena is full) feeds the
         host's NeedNewKeyFrame check without another fetch.
         """
@@ -331,21 +335,23 @@ class TrackingKernels:
                                           R, t)
 
         def skip_local(arena):
-            return arena, assoc, outlier, R, t, jnp.int32(0)
+            return arena, assoc, outlier, R, t, jnp.int32(0), ref_kf
 
-        arena, assoc_f, outlier_f, R_f, t_f, n_final = jax.lax.cond(
-            track_ok, do_local, skip_local, arena)
+        (arena, assoc_f, outlier_f, R_f, t_f, n_final,
+         new_ref) = jax.lax.cond(track_ok, do_local, skip_local, arena)
 
         # NeedNewKeyFrame's reference count tracks MATURE map points only:
         # nRefMatches = mpReferenceKF->TrackedMapPoints(nMinObs) with
-        # nMinObs=3 (2 while the map has <=2 KFs), Tracking.cpp:741-748.
-        # Counting every observation makes c2 fire every frame (a fresh
-        # ref KF has mostly young points), degenerating into one keyframe
-        # per frame and mapping-dominated runtime.
+        # nMinObs=3 (2 while the map has <=2 KFs), Tracking.cpp:741-748 —
+        # counted on the NEW reference KF, which TrackLocalMap just set to
+        # pKFmax, the point-richest covisible KF (Tracking.cpp:930-938).
+        # Counting every observation on the newest KF instead makes c2
+        # fire every frame (a fresh KF has mostly young points),
+        # degenerating into one keyframe per frame.
         live_kf = jnp.sum(arena.kf_valid.astype(jnp.int32))
         cnt = SM.observation_counts(arena)
-        row = arena.kf_obs_lm[ref_kf]
-        row_ok = (row >= 0) & arena.kf_kp_valid[ref_kf]
+        row = arena.kf_obs_lm[new_ref]
+        row_ok = (row >= 0) & arena.kf_kp_valid[new_ref]
         row_ok &= jnp.where(row >= 0,
                             arena.lm_valid[jnp.maximum(row, 0)], False)
         min_obs = jnp.where(live_kf > 2, 3, 2)
@@ -357,13 +363,14 @@ class TrackingKernels:
                                jnp.argmax(free).astype(jnp.int32),
                                jnp.int32(-1))
         scalars = jnp.stack([n, n_inl, n_final, n_ref_obs, live_kf,
-                             first_free, track_ok.astype(jnp.int32)])
+                             first_free, track_ok.astype(jnp.int32),
+                             new_ref])
         # motion-model velocity (Tracking.cpp:307-316) and the ref-KF-
         # relative pose, computed ON DEVICE so the host never dispatches
         # per-frame 3x3 algebra over the tunnel
         R_li, t_li = G.se3_inverse(R_last, t_last)
         vel_R, vel_t = G.se3_compose(R_f, t_f, R_li, t_li)
-        R_ri, t_ri = G.se3_inverse(arena.kf_R[ref_kf], arena.kf_t[ref_kf])
+        R_ri, t_ri = G.se3_inverse(arena.kf_R[new_ref], arena.kf_t[new_ref])
         rel_R, rel_t = G.se3_compose(R_f, t_f, R_ri, t_ri)
         return (arena, assoc_f, outlier_f, R_f, t_f, scalars,
                 vel_R, vel_t, rel_R, rel_t)
@@ -411,7 +418,7 @@ class TrackingKernels:
         projection search + final PoseOptimization (the two SearchByProjection
         widening passes, Tracking.cpp:1078-1140)."""
         assoc = jnp.where(outlier, SM.NO_LM, assoc)
-        sel, sel_ok, _ = self.select_local_landmarks(arena, assoc)
+        sel, sel_ok, _, _ = self.select_local_landmarks(arena, assoc)
         assoc2, _ = self.search_local_points(arena, kp_cur, assoc,
                                              sel, sel_ok, R, t)
         R, t, outlier, n3 = self.optimize_pose(arena, kp_cur, assoc2, R, t)

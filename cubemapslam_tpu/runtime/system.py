@@ -390,7 +390,8 @@ class CubemapSLAM:
     def _track_frame_slam(self, kp, fid, ts):
         k = self.kernels
         R_last, t_last, R_pred, t_pred = self._predicted_pose()
-        self.arena, assoc, outlier, R, t, scalars = k.track_frame_full(
+        (self.arena, assoc, outlier, R, t, scalars,
+         vel_R, vel_t, rel_R, rel_t) = k.track_frame_full(
             self.arena, kp, self.last.assoc, self.last.outlier,
             self.last.kp.level, self.last.kp.angle, R_pred, t_pred,
             R_last, t_last, jnp.int32(self.ref_kf))
@@ -398,14 +399,20 @@ class CubemapSLAM:
             scalars.copy_to_host_async()
         sc = np.asarray(scalars)
         (n, n_inl, n_final, n_ref, live_kf, first_free,
-         track_ok) = (int(x) for x in sc)
+         track_ok, new_ref) = (int(x) for x in sc)
         if not track_ok or n_final < self.cfg.min_track_inliers:
             self._set_lost(kp, fid, ts, live_kf=live_kf)
             return
-        # motion model update (Tracking.cpp:307-316)
-        R_li, t_li = G.se3_inverse(R_last, t_last)
-        self.velocity = G.se3_compose(R, t, R_li, t_li)
-        self._record_frame(kp, assoc, outlier, R, t, fid, ts)
+        # mpReferenceKF = pKFmax, set by TrackLocalMap on device
+        # (Tracking.cpp:930-938); rel_R/rel_t are relative to it
+        self.ref_kf = new_ref
+        # motion model update (Tracking.cpp:307-316) — velocity and the
+        # ref-KF-relative pose were computed on device by track_frame_full
+        self.velocity = (vel_R, vel_t)
+        self.last = FrameState(kp=kp, assoc=assoc, outlier=outlier,
+                               R=R, t=t, rel_R=rel_R, rel_t=rel_t,
+                               ref_kf=self.ref_kf, frame_id=fid,
+                               timestamp=ts)
         self.metrics.append({"frame": fid, "inliers": n_final,
                              "matches": n, "inliers_mm": n_inl})
         if self._need_new_keyframe(n_final, n_ref, first_free):
@@ -479,13 +486,17 @@ class CubemapSLAM:
             return
 
         # local-map tracking (TrackLocalMap, Tracking.cpp:679-719)
-        self.arena, assoc, outlier, R, t, n_final = k.track_local_fused(
-            self.arena, kp, assoc, outlier, R, t)
+        (self.arena, assoc, outlier, R, t, n_final,
+         new_ref) = k.track_local_fused(self.arena, kp, assoc, outlier,
+                                        R, t)
         n_final_i = int(n_final)
         if n_final_i < self.cfg.min_track_inliers:
             self._set_lost(kp, fid, ts)
             return
 
+        # mpReferenceKF = pKFmax (Tracking.cpp:938) — also in
+        # localization-only mode
+        self.ref_kf = int(new_ref)
         # motion model update (Tracking.cpp:307-316)
         R_last_inv, t_last_inv = G.se3_inverse(R_last, t_last)
         self.velocity = G.se3_compose(R, t, R_last_inv, t_last_inv)
