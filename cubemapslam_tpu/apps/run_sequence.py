@@ -76,7 +76,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     from cubemapslam_tpu import warp as W
     from cubemapslam_tpu import serialize
 
-    cfg = load_config(settings)
+    if settings in ("none", "None", ""):
+        # built-in defaults ARE the Lafida cam0 calibration
+        # (Config/lafida_cam0_params.yaml values, config.py)
+        from cubemapslam_tpu.config import SlamConfig
+        cfg = SlamConfig()
+    else:
+        cfg = load_config(settings)
     slam = CubemapSLAM(cfg)
     if voc_path not in ("none", "None", "") and os.path.exists(voc_path):
         from cubemapslam_tpu import place as PL

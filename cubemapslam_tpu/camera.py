@@ -327,6 +327,46 @@ def vector_sigma(cam: CubemapCamera, uv: jnp.ndarray,
     return sigma_px * fx / (fx * fx + r * (r + sigma_px))
 
 
+def vector_sigma_along_normal_pairwise(cam: CubemapCamera,
+                                       uv2: jnp.ndarray,
+                                       normals: jnp.ndarray,
+                                       sigma_px: float = 1.0
+                                       ) -> jnp.ndarray:
+    """(N1,N2) anisotropic angular sigmas for every (epipolar normal,
+    keypoint-2) pair — the pairwise form of vector_sigma_along_normal.
+
+    The per-pair dependence on the normal enters only through the face-frame
+    components nfx/nfy and the two in-face projections OP.epi / OP.vert,
+    all LINEAR in the normal: they factor into four (N1,3) @ (3,N2) MXU
+    matmuls against per-keypoint vectors, with the trigonometric tail
+    elementwise on (N1,N2). A vmapped per-normal camera call evaluates the
+    full model N1*N2 times (~40 ms per neighbor at the Lafida working
+    scale — this form is ~1 ms)."""
+    face = face_from_cubemap_uv(cam, uv2)
+    Rf = cam.face_R[jnp.clip(face, 0, 4)]               # (N2,3,3)
+    r0 = Rf[:, 0, :]
+    r1 = Rf[:, 1, :]
+    in_face = cubemap_uv_to_in_face(cam, uv2)
+    fx, cx, cy = cam.fxycxy[0], cam.fxycxy[2], cam.fxycxy[3]
+    OPx = in_face[..., 0] - cx
+    OPy = in_face[..., 1] - cy
+    A = OPx[:, None] * r1 - OPy[:, None] * r0           # (N2,3)
+    B = OPx[:, None] * r0 + OPy[:, None] * r1
+    a = normals @ A.T                                   # (N1,N2)
+    b = normals @ B.T
+    nfx = normals @ r0.T
+    nfy = normals @ r1.T
+    s = jnp.sqrt(nfx * nfx + nfy * nfy)
+    eps = 1e-12
+    OO1 = jnp.abs(a) / jnp.maximum(s, eps)
+    PO1 = jnp.abs(b) / jnp.maximum(s, eps)
+    CO1 = jnp.sqrt(OO1 * OO1 + fx * fx)
+    tan1 = PO1 / CO1
+    tan2 = (PO1 + sigma_px) / CO1
+    tan3 = (tan2 - tan1) / (1 + tan1 * tan2)
+    return 1.0 / jnp.sqrt(1.0 / jnp.maximum(tan3 * tan3, eps) + 1.0)
+
+
 def vector_sigma_along_normal(cam: CubemapCamera, uv: jnp.ndarray,
                               normal_rig: jnp.ndarray,
                               sigma_px: float = 1.0) -> jnp.ndarray:

@@ -99,6 +99,14 @@ class SlamConfig:
     min_track_inliers_after_reloc: int = 50  # Tracking.cpp:712
     max_local_keyframes: int = 80   # Tracking.cpp:934
     keyframe_ref_ratio: float = 0.95  # Tracking.cpp:757
+    # NeedNewKeyFrame's c2 compares tracked inliers against the reference
+    # KF's MATURE point count (>=3 obs, Tracking.cpp:741-748). When that
+    # count is below this floor, the local map is too young/thin for the
+    # ratio to mean "coverage" and the degenerate count itself is treated
+    # as insertion urgency (see system._need_new_keyframe). A steady-state
+    # map holds several hundred mature points per reference KF, so this
+    # only bites young or starving maps.
+    keyframe_mature_floor: int = 100
     # constant-velocity extrapolation gain: 1.0 = reference motion model
     # (Tracking.cpp:626-631), 0.0 = predict from the last pose. See
     # runtime/system._predicted_pose for the stability analysis.
@@ -126,6 +134,17 @@ class SlamConfig:
     init_ransac_iters: int = 200    # Initializer ctor (Tracking.cpp:437)
     pnp_ransac_iters: int = 300     # Tracking.cpp:1035
     sim3_ransac_iters: int = 300    # LoopClosing.cpp:284
+
+    # cap on the landmarks carried by one LOCAL bundle adjustment: the
+    # covisible window's points are compacted into this many slots before
+    # the solve (the reference's LocalBundleAdjustment graph is likewise
+    # bounded by the local observation set, Optimizer.cpp:195-310); the
+    # overflow, if any, keeps its old positions for that call
+    max_local_ba_points: int = 8192
+    # per-camera cap on the observation rows carried into local BA (each
+    # keyframe's live observations are compacted to this many; a KF's live
+    # obs count is typically a fraction of the feature budget)
+    max_local_ba_obs_per_cam: int = 1280
 
     # --- Arena capacities (fixed shapes; TPU-native addition) ---
     # (observations live in the dense (K, n_features) table kf_obs_lm, so

@@ -37,6 +37,33 @@ TH_HIGH = 100
 N_ROT_BINS = 30          # ceil(360/HISTO_LENGTH) bins of 12 deg (cpp:135)
 BIG = jnp.float32(1e9)
 
+# The reference's search radii are PIXELS on its 650^2 cube faces
+# (fx = w/2 = 325, System.cpp:83-84; every shipped calibration uses 650
+# faces). Angular windows are the calibration-independent quantity: a
+# radius of r px means atan(r/325) degrees of bearing. Converting through
+# the ACTUAL face focal instead would widen the window 4x at a 160-px
+# test face — wide enough for repetitive texture to alias matches onto
+# the motion prediction, which measurably turns the constant-velocity
+# model into a positive feedback loop ((1+b)^k rotation-error growth,
+# NOTES_TPU.md round 4). Keypoint DETECTION noise, however, lives in
+# actual pixels, so the angular window keeps a floor of 6 actual pixels
+# (~3 sigma of corner localization across pyramid levels — below it,
+# true re-detections fall outside the gate and matching starves;
+# measured: floor 3 px kept damping-1.0 stable but starved the
+# fast-motion scenarios, floor 6 px keeps both). At the reference's face
+# size the floor only touches the tightest local-map radii (2.5/4 px ->
+# 6 px); the 15/30 px motion windows are the reference's exactly.
+WINDOW_REF_FOCAL = 325.0
+WINDOW_FLOOR_PX = 6.0
+
+
+def _window_cos(r_px, fx):
+    """cos of the effective angular search radius for a reference-pixel
+    window r_px on a face with focal fx."""
+    ang = jnp.maximum(jnp.arctan(jnp.asarray(r_px) / WINDOW_REF_FOCAL),
+                      jnp.arctan(WINDOW_FLOOR_PX / fx))
+    return jnp.cos(ang)
+
 
 # ---------------------------------------------------------------------------
 # Hamming distance on the MXU
@@ -171,8 +198,7 @@ def search_for_initialization(kp1, kp2, cam: CubemapCamera,
     bits1 = unpack_descriptors(kp1.desc)
     bits2 = unpack_descriptors(kp2.desc)
     dist = hamming_matrix(bits1, bits2)
-    fx = cam.fxycxy[0]
-    cos_win = jnp.cos(jnp.arctan(window_px / fx))
+    cos_win = _window_cos(window_px, cam.fxycxy[0])
     centers = kp1.rays if center_rays is None else center_rays
     ray_dot = centers @ kp2.rays.T
     gate = (ray_dot >= cos_win)
@@ -222,12 +248,12 @@ def search_by_projection(query_rays_cam: jnp.ndarray,
     bits_t = unpack_descriptors(kp.desc)
     dist = hamming_matrix(bits_q, bits_t)
 
-    fx = cam.fxycxy[0]
     # radius_px may be a scalar or a per-query (Q,) array (the viewing-cos
-    # dependent radius of the local-map search, ORBMatcher.cpp:380-386)
+    # dependent radius of the local-map search, ORBMatcher.cpp:380-386);
+    # interpreted at the reference face focal (see WINDOW_REF_FOCAL)
     r_eff = jnp.asarray(radius_px) * scale_factors[
         jnp.clip(query_levels, 0, scale_factors.shape[0] - 1)]
-    cos_win = jnp.cos(jnp.arctan(r_eff / fx))          # (Q,)
+    cos_win = _window_cos(r_eff, cam.fxycxy[0])        # (Q,)
     ray_dot = qn @ kp.rays.T                            # (Q, N)
     gate = ray_dot >= cos_win[:, None]
     lvl = kp.level[None, :]
@@ -263,9 +289,8 @@ def epipolar_chi2(cam: CubemapCamera, E12: jnp.ndarray,
     n = rays1 @ E12                                     # (N1,3) normals
     num = jnp.einsum("ik,jk->ij", n, rays2)             # (N1,N2)
     den = jnp.sum(n * n, axis=-1, keepdims=True)        # (N1,1)
-    # sigma depends on (kp2, normal): (N1,N2)
-    sig = jax.vmap(
-        lambda nn: C.vector_sigma_along_normal(cam, uv2, nn))(n)
+    # sigma depends on (kp2, normal): (N1,N2), factored into matmuls
+    sig = C.vector_sigma_along_normal_pairwise(cam, uv2, n)
     chi2 = num * num / jnp.maximum(
         den * sig * sig * level_sigma2_2[None, :], 1e-20)
     return jnp.where(den > 0, chi2, jnp.inf)

@@ -186,11 +186,26 @@ class TrackingKernels:
         obs_ok = (obs >= 0) & arena.kf_kp_valid & arena.kf_valid[:, None]
         votes = jnp.sum(
             jnp.where(obs_ok & member[jnp.maximum(obs, 0)], 1, 0), axis=1)
-        # top-80 voting KFs (cap, Tracking.cpp:934)
+        # K1 = KFs observing current-frame landmarks (vote counts); the
+        # reference then EXPANDS with each K1 member's covisible
+        # neighbors/children/parent (Tracking.cpp:905-972) — without the
+        # expansion the local map carries only the directly-shared
+        # landmarks and TrackLocalMap starves (measured: 8 KFs/159 points
+        # vs 25+/500+ expanded on the same frame)
+        covis = SM.covisibility_matrix(arena)
+        votersf = (votes > 0).astype(jnp.float32)
+        nb_strength = jnp.max(covis.astype(jnp.float32)
+                              * votersf[:, None], axis=0)
+        expanded = (votes > 0) | (nb_strength
+                                  >= self.cfg.covisibility_weight_th)
+        expanded &= arena.kf_valid
+        # top-80 cap (Tracking.cpp:934), voters ranked first
         k_eff = min(self.cfg.max_local_keyframes, K)
-        _, local_kfs = jax.lax.top_k(votes, k_eff)
-        local_mask = jnp.zeros(K, bool).at[local_kfs].set(
-            jax.lax.top_k(votes, k_eff)[0] > 0)
+        prio = jnp.where(expanded,
+                         votes.astype(jnp.float32) * 1e6 + nb_strength,
+                         -1.0)
+        top_p, local_kfs = jax.lax.top_k(prio, k_eff)
+        local_mask = jnp.zeros(K, bool).at[local_kfs].set(top_p > 0)
         # their landmarks
         in_local = local_mask[:, None] & obs_ok
         lm_local = jnp.zeros(L + 1, bool).at[
@@ -200,9 +215,13 @@ class TrackingKernels:
         score = jnp.where(lm_local, 1.0, -1.0)
         sel_score, sel = jax.lax.top_k(score, min(max_local, L))
         # pKFmax: the KF sharing the most observations with this frame
-        # (Tracking.cpp:930-933; becomes mpReferenceKF, Tracking.cpp:938)
+        # (Tracking.cpp:930-933; becomes mpReferenceKF, Tracking.cpp:938).
+        # The winning VOTE COUNT rides along so callers can keep the
+        # previous reference KF when the vote map is empty (the reference
+        # only reassigns if(pKFmax), Tracking.cpp:935-938).
         pkf_max = jnp.argmax(votes).astype(jnp.int32)
-        return sel.astype(jnp.int32), sel_score > 0, local_mask, pkf_max
+        return (sel.astype(jnp.int32), sel_score > 0, local_mask, pkf_max,
+                votes[pkf_max])
 
     @functools.partial(jax.jit, static_argnums=0)
     def search_local_points(self, arena: SM.MapArena, kp_cur: Keypoints,
@@ -275,19 +294,20 @@ class TrackingKernels:
         """TrackLocalMap in one program: local selection + projection
         search + pose optimization + visible/found counter updates."""
         assoc = jnp.where(outlier, SM.NO_LM, assoc)
-        sel, sel_ok, _, pkf_max = self.select_local_landmarks(arena, assoc)
+        (sel, sel_ok, _, pkf_max,
+         pkf_votes) = self.select_local_landmarks(arena, assoc)
         assoc, vis_add = self.search_local_points(arena, kp_cur, assoc,
                                                   sel, sel_ok, R, t)
         R, t, outlier, n_final = self.optimize_pose(arena, kp_cur, assoc,
                                                     R, t)
         arena = self.update_found_counters(arena, assoc, outlier, vis_add)
-        return arena, assoc, outlier, R, t, n_final, pkf_max
+        return arena, assoc, outlier, R, t, n_final, pkf_max, pkf_votes
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def track_frame_full(self, arena: SM.MapArena, kp_cur: Keypoints,
                          last_assoc, last_outlier, last_kp_level,
-                         last_kp_angle, R_pred, t_pred, R_last, t_last,
-                         ref_kf):
+                         last_kp_angle, rel_R, rel_t, last_ref,
+                         vel_R, vel_t, vel_gain, ref_kf):
         """The WHOLE per-frame SLAM tracking path as one device program:
         motion-model match (radius 15) -> widen to 30 if <20 matches
         (Tracking.cpp:641-648) -> reference-KF fallback if still <20
@@ -298,13 +318,29 @@ class TrackingKernels:
         tunnel — the reference hides stage latency with threads,
         System.cpp:108-128; here the device queue stays full instead).
 
-        Returns (arena, assoc, outlier, R, t, scalars, vel_R, vel_t,
-        rel_R, rel_t) with scalars = [n_matches, n_inliers, n_final,
-        n_ref_obs, live_kf, first_free_slot, track_ok, new_ref_kf
-        (TrackLocalMap's pKFmax)]; n_final/arena counters only updated
-        when track_ok. first_free_slot (-1 if the arena is full) feeds the
-        host's NeedNewKeyFrame check without another fetch.
+        The last pose arrives as (rel_R, rel_t, last_ref) — the pose
+        RELATIVE to its reference keyframe, re-anchored here against the
+        CURRENT keyframe table (UpdateLastFrame semantics,
+        Tracking.cpp:612-618) — and the motion model as (vel_R, vel_t,
+        vel_gain) with the prediction composed ON DEVICE
+        (Tracking.cpp:626-631; vel_gain = motion_model_damping, 0 when no
+        velocity exists yet). The host never dispatches per-frame 3x3
+        algebra over the tunnel.
+
+        Returns (arena, assoc, outlier, R, t, packed, vel_R, vel_t,
+        rel_R, rel_t) with packed (20,) f32 = [n_matches, n_inliers,
+        n_final, n_ref_obs, live_kf, first_free_slot, track_ok,
+        new_ref_kf, R.ravel(9), t(3)] — the frame's ONLY host fetch;
+        n_final/arena counters only updated when track_ok.
+        first_free_slot (-1 if the arena is full) feeds the host's
+        NeedNewKeyFrame check without another fetch.
         """
+        R_ref = arena.kf_R[last_ref]
+        t_ref = arena.kf_t[last_ref]
+        R_last, t_last = G.se3_compose(rel_R, rel_t, R_ref, t_ref)
+        tw = G.se3_log(vel_R, vel_t) * vel_gain
+        Rv, tv = G.se3_exp(tw)
+        R_pred, t_pred = G.se3_compose(Rv, tv, R_last, t_last)
         st = self.track_motion_fused(arena, kp_cur, last_assoc,
                                      last_outlier, last_kp_level,
                                      last_kp_angle, R_pred, t_pred,
@@ -317,6 +353,22 @@ class TrackingKernels:
                                            radius=30.0)
 
         st = jax.lax.cond(st[1] < 20, widen, lambda _: st, None)
+
+        # zero-velocity hypothesis: the constant-velocity extrapolation is
+        # a PRIOR; when matching under it starves (acceleration beyond the
+        # model), re-match from the unextrapolated last pose before
+        # falling back to the reference keyframe (robustness addition —
+        # the reference drops straight to TrackReferenceKeyFrame,
+        # Tracking.cpp:191-200, whose BoW matching is pose-free)
+        def zero_vel(_):
+            return self.track_motion_fused(arena, kp_cur, last_assoc,
+                                           last_outlier, last_kp_level,
+                                           last_kp_angle, R_last, t_last,
+                                           radius=30.0)
+
+        st2 = jax.lax.cond(st[1] < 20, zero_vel, lambda _: st, None)
+        st = jax.lax.cond(st2[5] > st[5], lambda _: st2, lambda _: st,
+                          None)
 
         def ref_fallback(_):
             assoc2, n2 = self.track_reference_kf(arena, kp_cur, ref_kf)
@@ -335,10 +387,17 @@ class TrackingKernels:
                                           R, t)
 
         def skip_local(arena):
-            return arena, assoc, outlier, R, t, jnp.int32(0), ref_kf
+            return (arena, assoc, outlier, R, t, jnp.int32(0), ref_kf,
+                    jnp.int32(0))
 
         (arena, assoc_f, outlier_f, R_f, t_f, n_final,
-         new_ref) = jax.lax.cond(track_ok, do_local, skip_local, arena)
+         pkf_max, pkf_votes) = jax.lax.cond(track_ok, do_local, skip_local,
+                                            arena)
+        # keep the previous mpReferenceKF when the vote map is empty
+        # (reference reassigns only if(pKFmax), Tracking.cpp:935-938);
+        # electing argmax over all-zero votes would crown slot 0, possibly
+        # an invalid KF, and poison the ref-relative pose anchor
+        new_ref = jnp.where(pkf_votes > 0, pkf_max, ref_kf)
 
         # NeedNewKeyFrame's reference count tracks MATURE map points only:
         # nRefMatches = mpReferenceKF->TrackedMapPoints(nMinObs) with
@@ -364,15 +423,17 @@ class TrackingKernels:
                                jnp.int32(-1))
         scalars = jnp.stack([n, n_inl, n_final, n_ref_obs, live_kf,
                              first_free, track_ok.astype(jnp.int32),
-                             new_ref])
+                             new_ref]).astype(jnp.float32)
         # motion-model velocity (Tracking.cpp:307-316) and the ref-KF-
         # relative pose, computed ON DEVICE so the host never dispatches
-        # per-frame 3x3 algebra over the tunnel
+        # per-frame 3x3 algebra over the tunnel; the pose rides the packed
+        # fetch (a separate np.asarray(R) costs another ~26ms tunnel RPC)
         R_li, t_li = G.se3_inverse(R_last, t_last)
         vel_R, vel_t = G.se3_compose(R_f, t_f, R_li, t_li)
         R_ri, t_ri = G.se3_inverse(arena.kf_R[new_ref], arena.kf_t[new_ref])
         rel_R, rel_t = G.se3_compose(R_f, t_f, R_ri, t_ri)
-        return (arena, assoc_f, outlier_f, R_f, t_f, scalars,
+        packed = jnp.concatenate([scalars, R_f.reshape(-1), t_f])
+        return (arena, assoc_f, outlier_f, R_f, t_f, packed,
                 vel_R, vel_t, rel_R, rel_t)
 
     # ------------------------------------------------------------------
@@ -418,7 +479,7 @@ class TrackingKernels:
         projection search + final PoseOptimization (the two SearchByProjection
         widening passes, Tracking.cpp:1078-1140)."""
         assoc = jnp.where(outlier, SM.NO_LM, assoc)
-        sel, sel_ok, _, _ = self.select_local_landmarks(arena, assoc)
+        sel, sel_ok, _, _, _ = self.select_local_landmarks(arena, assoc)
         assoc2, _ = self.search_local_points(arena, kp_cur, assoc,
                                              sel, sel_ok, R, t)
         R, t, outlier, n3 = self.optimize_pose(arena, kp_cur, assoc2, R, t)
@@ -450,7 +511,16 @@ class TrackingKernels:
             kf_kp_valid=arena.kf_kp_valid.at[slot].set(kp.valid),
             kf_obs_lm=arena.kf_obs_lm.at[slot].set(good_assoc),
         )
-        return SM.update_landmark_stats(arena, self.scale_factors)
+        # stats refresh for the landmarks this keyframe now observes ONLY
+        # (the reference likewise updates per-MapPoint on insertion,
+        # LocalMapping.cpp:157-158); a full-arena recompute is ~1 GB of
+        # descriptor traffic at working scale
+        touched = jnp.zeros(arena.n_lm_cap, bool).at[
+            jnp.maximum(good_assoc, 0)].max(good_assoc >= 0)
+        return SM.update_landmark_stats_touched(
+            arena, self.scale_factors, touched,
+            max_touched=arena.n_feat,
+            max_obs=min(32 * arena.n_feat, arena.n_kf_cap * arena.n_feat))
 
     @functools.partial(jax.jit, static_argnums=0)
     def update_found_counters(self, arena: SM.MapArena, assoc, outlier,

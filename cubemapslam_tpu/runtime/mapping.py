@@ -62,14 +62,16 @@ class MappingKernels:
     # ------------------------------------------------------------------
 
     @functools.partial(jax.jit, static_argnums=0)
-    def cull_map_points(self, arena: SM.MapArena, current_kf_count):
+    def cull_map_points(self, arena: SM.MapArena, current_kf_count,
+                        cnt=None):
         """Probation culling of RECENT landmarks only
         (mlpRecentAddedMapPoints, LocalMapping.cpp:175-206): within ~3
         keyframes of creation a landmark must keep found/visible >= 0.25 and
         accumulate >= 2 observations; after that it leaves the probation
         list and these tests never fire again (mature landmarks are removed
         only by BA outlier cuts / fusion)."""
-        cnt = SM.observation_counts(arena)
+        if cnt is None:
+            cnt = SM.observation_counts(arena)
         ratio = arena.lm_found.astype(jnp.float32) / jnp.maximum(
             arena.lm_visible.astype(jnp.float32), 1.0)
         age = current_kf_count - 1 - arena.lm_birth  # in keyframes (counter)
@@ -153,6 +155,61 @@ class MappingKernels:
         return Xw, ok, res.idx, cos_par
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def commit_new_landmarks_multi(self, arena: SM.MapArena, k_new, nb_idx,
+                                   Xw, ok, idx2, kf_counter, frame_id):
+        """Allocate free landmark slots for the accepted candidates of ALL
+        neighbors in one pass and wire observations (k_new row + each
+        neighbor's row). Xw/ok/idx2 are (B, N, ...) stacked per neighbor;
+        ``ok`` must select at most one neighbor per k_new feature (the
+        widest-parallax winner mask). One batched pass replaces B
+        sequential commits, each of which re-derived the free-slot order
+        over the whole landmark table."""
+        B, N = ok.shape
+        L = arena.n_lm_cap
+        free = ~arena.lm_valid
+        # stable free-slot list (cumsum compaction, cheaper than argsort)
+        f_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+        slots = jnp.full(L + 1, L, jnp.int32).at[
+            jnp.where(free, jnp.minimum(f_rank, L - 1), L)].set(
+            jnp.arange(L, dtype=jnp.int32))[:-1]
+        n_free = jnp.sum(free.astype(jnp.int32))
+        okf = ok.reshape(-1)
+        rank = jnp.cumsum(okf.astype(jnp.int32)) - 1
+        can = okf & (rank < n_free)
+        slot = jnp.where(can, slots[jnp.clip(rank, 0, L - 1)], L)
+        pad = lambda a: jnp.concatenate(  # noqa: E731
+            [a, jnp.zeros((1,) + a.shape[1:], a.dtype)], 0)
+        Xw_f = Xw.reshape(-1, 3)
+        lm_pos = pad(arena.lm_pos).at[slot].set(Xw_f)[:-1]
+        lm_valid = pad(arena.lm_valid).at[slot].set(can)[:-1]
+        lm_first_kf = pad(arena.lm_first_kf).at[slot].set(
+            jnp.asarray(k_new, jnp.int32))[:-1]
+        lm_birth = pad(arena.lm_birth).at[slot].set(
+            jnp.asarray(kf_counter, jnp.int32))[:-1]
+        lm_first_frame = pad(arena.lm_first_frame).at[slot].set(
+            jnp.asarray(frame_id, jnp.int32))[:-1]
+        lm_visible = pad(arena.lm_visible).at[slot].set(1)[:-1]
+        lm_found = pad(arena.lm_found).at[slot].set(1)[:-1]
+        # k_new row: the winner mask admits at most one neighbor per
+        # feature, so a min-reduce over B picks the allocated slot
+        slot_bn = slot.reshape(B, N)
+        can_bn = can.reshape(B, N)
+        new_slot = jnp.min(jnp.where(can_bn, slot_bn, L), axis=0)  # (N,)
+        obs = arena.kf_obs_lm
+        row_new = jnp.where(new_slot < L, new_slot, obs[k_new])
+        obs = obs.at[k_new].set(row_new)
+        for b in range(B):
+            row_nb = obs[nb_idx[b]].at[idx2[b]].max(
+                jnp.where(can_bn[b], slot_bn[b], SM.NO_LM).astype(
+                    jnp.int32))
+            obs = obs.at[nb_idx[b]].set(row_nb)
+        return arena._replace(
+            lm_pos=lm_pos, lm_valid=lm_valid, lm_first_kf=lm_first_kf,
+            lm_birth=lm_birth, lm_first_frame=lm_first_frame,
+            lm_visible=lm_visible, lm_found=lm_found,
+            kf_obs_lm=obs), jnp.sum(can.astype(jnp.int32))
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def commit_new_landmarks(self, arena: SM.MapArena, k_new, k_nb,
                              Xw, ok, idx2, kf_counter, frame_id):
         """Allocate free landmark slots for the accepted candidates and wire
@@ -202,10 +259,19 @@ class MappingKernels:
     # ORBMatcher.cpp:1127-1244)
     # ------------------------------------------------------------------
 
-    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
-    def fuse_pair(self, arena: SM.MapArena, k_src, k_dst):
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1,
+                       static_argnames=("defer_redirect",))
+    def fuse_pair(self, arena: SM.MapArena, k_src, k_dst, cnt=None,
+                  defer_redirect: bool = False):
         """Project k_src's landmarks into k_dst; merge duplicates (the
-        landmark with more observations wins) or add missing observations."""
+        landmark with more observations wins) or add missing observations.
+
+        cnt: optional precomputed observation counts (one O(K*N) pass per
+        mapping step instead of one per fuse call; counts drifting by a few
+        fuse merges only affects which duplicate wins a merge).
+        defer_redirect: return (arena, redirect) without rewriting the
+        observation table — the caller composes redirects across fuse
+        calls and applies ONE table rewrite."""
         lm = arena.kf_obs_lm[k_src]
         has = (lm >= 0) & arena.kf_kp_valid[k_src]
         has &= jnp.where(lm >= 0, arena.lm_valid[jnp.maximum(lm, 0)], False)
@@ -227,7 +293,8 @@ class MappingKernels:
         # landmark (merge: fewer-obs landmark redirected to the other)
         j = res.idx
         tgt_lm = arena.kf_obs_lm[k_dst][j]
-        cnt = SM.observation_counts(arena)
+        if cnt is None:
+            cnt = SM.observation_counts(arena)
         add = res.ok & (tgt_lm < 0)
         row = arena.kf_obs_lm[k_dst]
         row = row.at[jnp.where(add, j, arena.n_feat - 1)].max(
@@ -245,6 +312,8 @@ class MappingKernels:
             jnp.zeros(arena.n_lm_cap, bool).at[
                 jnp.where(merge, loser, 0)].set(merge))
         arena = arena._replace(kf_obs_lm=obs, lm_valid=lm_valid)
+        if defer_redirect:
+            return arena, redirect
         arena = SM.apply_redirect(arena, redirect)
         return arena
 
@@ -254,12 +323,23 @@ class MappingKernels:
     # ------------------------------------------------------------------
 
     @functools.partial(jax.jit, static_argnums=(0, 3), donate_argnums=1)
-    def local_ba(self, arena: SM.MapArena, center_kf, max_cams: int = 48):
+    def local_ba(self, arena: SM.MapArena, center_kf, max_cams: int = 48,
+                 covis=None):
         """BA over the covisible neighborhood of center_kf: top covisible KFs
         are free (except KF 0), other observers of their landmarks are fixed
-        anchors; landmarks observed by the free set are optimized."""
+        anchors; landmarks observed by the free set are optimized.
+
+        The problem is COMPACTED before the solve (the reference's
+        LocalBundleAdjustment builds its g2o graph from the local set only,
+        Optimizer.cpp:195-310): the <=2*max_cams cameras' landmarks are
+        gathered into a fixed max_local_points table so the point system,
+        scatter targets, and gauge retraction are O(local), and the reduced
+        camera system is solved DIRECTLY (dense Schur + Cholesky) instead
+        of by deep sequential CG — measured 4.18 s -> tens of ms per call
+        at the Lafida working scale (650^2 faces, 2000 feats, 64k arena)."""
         K, N = arena.n_kf_cap, arena.n_feat
-        covis = SM.covisibility_matrix(arena)
+        if covis is None:
+            covis = SM.covisibility_matrix(arena)
         w = covis[center_kf]
         w = w.at[center_kf].set(jnp.iinfo(jnp.int32).max)  # center included
         w = jnp.where(arena.kf_valid, w, -1)
@@ -274,13 +354,14 @@ class MappingKernels:
         pt_local = jnp.zeros(arena.n_lm_cap + 1, bool).at[
             jnp.where(rows_ok, lm_ids, arena.n_lm_cap)].set(True)[:-1]
         pt_local &= arena.lm_valid
-        # fixed anchors: other KFs observing local landmarks
-        seg, live = SM._flat_obs(arena)
-        kf_idx_full = jnp.repeat(jnp.arange(K, dtype=jnp.int32), N)
-        sees_local = live & pt_local[jnp.minimum(seg, arena.n_lm_cap - 1)]
+        # fixed anchors: other KFs observing local landmarks. Scored by
+        # summed covisibility with the local set (the weights ARE
+        # shared-landmark counts, KeyFrame.cpp:315-404) — an exact count
+        # of local-POINT sightings would need another O(K*N) table pass
+        # (~15 ms on TPU) for the same anchor ranking
         in_local_set = jnp.zeros(K, bool).at[cam_idx].max(local_valid)
-        anchor_votes = jnp.zeros(K, jnp.int32).at[kf_idx_full].add(
-            sees_local.astype(jnp.int32))
+        anchor_votes = jnp.sum(
+            jnp.where(local_valid[:, None], covis[cam_idx], 0), axis=0)
         anchor_votes = jnp.where(in_local_set | ~arena.kf_valid, 0,
                                  anchor_votes)
         _, fix_idx = jax.lax.top_k(anchor_votes, max_cams)
@@ -302,16 +383,33 @@ class MappingKernels:
         oldest = jnp.argmin(age_key)
         all_fixed = all_fixed.at[oldest].set(
             all_fixed[oldest] | ~has_fixed)
+        # ---- compact the point system to O(local) fixed shapes ----
+        L = arena.n_lm_cap
+        P = min(int(getattr(self.cfg, "max_local_ba_points", 16384)), L)
+        rank = jnp.cumsum(pt_local.astype(jnp.int32)) - 1
+        can_pt = pt_local & (rank < P)
+        # lm_sel[p] = arena landmark id of compact point p (L = empty)
+        lm_sel = jnp.full(P + 1, L, jnp.int32).at[
+            jnp.where(can_pt, rank, P)].set(
+            jnp.arange(L, dtype=jnp.int32))[:-1]
+        pt_ok = lm_sel < L
+        lm_sel_s = jnp.minimum(lm_sel, L - 1)
+        inv = jnp.full(L + 1, -1, jnp.int32).at[
+            jnp.where(pt_ok, lm_sel_s, L)].set(
+            jnp.arange(P, dtype=jnp.int32))[:-1]
+        X_local = arena.lm_pos[lm_sel_s]
+
         # gather edges from the 2C keyframe rows
         sub_obs = arena.kf_obs_lm[all_idx]                 # (2C,N)
         sub_ok = ((sub_obs >= 0) & arena.kf_kp_valid[all_idx]
                   & all_valid[:, None])
         sub_lm = jnp.maximum(sub_obs, 0)
         sub_ok &= arena.lm_valid[sub_lm]
-        sub_ok &= pt_local[sub_lm]
+        e_pt = inv[sub_lm].reshape(-1)                     # compact ids
+        sub_ok = sub_ok.reshape(-1) & (e_pt >= 0)
+        e_pt = jnp.maximum(e_pt, 0)
         Csz = all_idx.shape[0]
         e_cam = jnp.repeat(jnp.arange(Csz, dtype=jnp.int32), N)
-        e_pt = sub_lm.reshape(-1)
         e_face = arena.kf_face[all_idx].reshape(-1)
         e_uv = C.cubemap_uv_to_in_face(
             self.cam, arena.kf_uv[all_idx].reshape(-1, 2))
@@ -321,30 +419,35 @@ class MappingKernels:
         prob = BAProblem(
             R=arena.kf_R[all_idx], t=arena.kf_t[all_idx],
             cam_fixed=all_fixed, cam_valid=all_valid,
-            X=arena.lm_pos, pt_valid=pt_local,
+            X=X_local, pt_valid=pt_ok,
             obs_cam=e_cam, obs_pt=e_pt, obs_face=e_face, obs_uv=e_uv,
-            obs_inv_sigma2=e_is2, obs_valid=sub_ok.reshape(-1))
-        out, inl = bundle_adjust(self.cam, prob, phase_iters=(5, 10),
-                                 cg_iters=24)
+            obs_inv_sigma2=e_is2, obs_valid=sub_ok)
+        out, inl = bundle_adjust(
+            self.cam, prob, phase_iters=(5, 10), solver="direct",
+            n_free=max_cams,
+            max_obs_per_cam=int(getattr(self.cfg,
+                                        "max_local_ba_obs_per_cam", 1280)))
+        touched = can_pt
         # write back through dump-row scatters: padding entries from top_k
         # can collide with real rows, so anything not meant to write goes to
-        # a phantom row K that is dropped afterwards.
+        # a phantom row K (cameras) / L (landmarks) dropped afterwards.
         upd = all_valid & ~all_fixed
         tgt_upd = jnp.where(upd, all_idx, K)
         pad_rows = lambda a: jnp.concatenate(  # noqa: E731
             [a, jnp.zeros((1,) + a.shape[1:], a.dtype)], 0)
         kf_R = pad_rows(arena.kf_R).at[tgt_upd].set(out.R)[:-1]
         kf_t = pad_rows(arena.kf_t).at[tgt_upd].set(out.t)[:-1]
-        lm_pos = jnp.where(pt_local[:, None], out.X, arena.lm_pos)
+        lm_pos = pad_rows(arena.lm_pos).at[
+            jnp.where(pt_ok, lm_sel_s, L)].set(out.X)[:-1]
         # remove outlier observations (Optimizer.cpp:401-419)
-        kill = sub_ok.reshape(-1) & ~inl
+        kill = sub_ok & ~inl
         obs_rows_new = jnp.where(kill.reshape(Csz, N), SM.NO_LM,
                                  arena.kf_obs_lm[all_idx])
         tgt_obs = jnp.where(all_valid, all_idx, K)
         kf_obs = pad_rows(arena.kf_obs_lm).at[tgt_obs].set(
             obs_rows_new)[:-1]
         return arena._replace(kf_R=kf_R, kf_t=kf_t, lm_pos=lm_pos,
-                              kf_obs_lm=kf_obs)
+                              kf_obs_lm=kf_obs), touched
 
     # ------------------------------------------------------------------
     # Fused per-keyframe mapping step: the whole LocalMapping::Run body
@@ -362,7 +465,14 @@ class MappingKernels:
                      n_neighbors: int = 6, max_cams: int = 48,
                      run_ba: bool = True):
         """slot: new keyframe arena row. kf_counter: monotonic keyframe
-        count AFTER insertion. frame_id: the keyframe's source frame."""
+        count AFTER insertion. frame_id: the keyframe's source frame.
+
+        The covisibility matrix is computed ONCE here and threaded through
+        BA and keyframe culling, and landmark statistics refresh only the
+        TOUCHED set (new keyframe's rows + fuse neighborhood + BA-moved
+        points) — the reference's per-object incremental updates
+        (KeyFrame::UpdateConnections, MapPoint::Update*) have no
+        full-arena analogs in its per-KF loop either."""
         covis = SM.covisibility_matrix(arena)
         w = covis[slot].at[slot].set(-1)
         w = jnp.where(arena.kf_valid, w, -1)
@@ -370,36 +480,63 @@ class MappingKernels:
         nb_idx = nb_idx.astype(jnp.int32)
         nb_ok = nb_w > 0
 
-        arena = self.cull_map_points(arena, kf_counter)
+        cnt0 = SM.observation_counts(arena)
+        arena = self.cull_map_points(arena, kf_counter, cnt=cnt0)
 
-        # triangulate against every neighbor; keep the widest-parallax
-        # winner per feature (committing nearest-neighbor first locks
-        # features to near-zero-baseline triangulations)
-        cands = []
-        for i in range(n_neighbors):
-            Xw, ok, idx2, cos_par = self.triangulate_with_neighbor(
-                arena, slot, nb_idx[i])
-            ok &= nb_ok[i]
-            cands.append((Xw, ok, idx2, jnp.where(ok, cos_par, 2.0)))
-        all_cos = jnp.stack([c[3] for c in cands])
+        # triangulate against every neighbor IN ONE VMAPPED PROGRAM; keep
+        # the widest-parallax winner per feature (committing
+        # nearest-neighbor first locks features to near-zero-baseline
+        # triangulations)
+        Xw_b, ok_b, idx2_b, cos_b = jax.vmap(
+            lambda nb: self.triangulate_with_neighbor(arena, slot, nb)
+        )(nb_idx)
+        ok_b &= nb_ok[:, None]
+        all_cos = jnp.where(ok_b, cos_b, 2.0)
         winner = jnp.argmin(all_cos, axis=0)
-        for i, (Xw, ok, idx2, _) in enumerate(cands):
-            arena, _ = self.commit_new_landmarks(
-                arena, slot, nb_idx[i], Xw, ok & (winner == i), idx2,
-                kf_counter - 1, frame_id)
+        win_ok = ok_b & (winner[None, :] == jnp.arange(
+            n_neighbors)[:, None])
+        arena, _ = self.commit_new_landmarks_multi(
+            arena, slot, nb_idx, Xw_b, win_ok, idx2_b,
+            kf_counter - 1, frame_id)
 
-        # bidirectional fuse with the top neighbors (SearchInNeighbors)
+        # bidirectional fuse with the top neighbors (SearchInNeighbors);
+        # redirects are composed and applied in ONE table rewrite
+        ident = jnp.arange(arena.n_lm_cap, dtype=jnp.int32)
+        redirect_total = ident
         for i in range(min(4, n_neighbors)):
-            def fuse_i(a, i=i):
-                a = self.fuse_pair(a, slot, nb_idx[i])
-                return self.fuse_pair(a, nb_idx[i], slot)
-            arena = jax.lax.cond(nb_ok[i], fuse_i, lambda a: a, arena)
+            def fuse_i(carry, i=i):
+                a, red = carry
+                a, r1 = self.fuse_pair(a, slot, nb_idx[i], cnt=cnt0,
+                                       defer_redirect=True)
+                a, r2 = self.fuse_pair(a, nb_idx[i], slot, cnt=cnt0,
+                                       defer_redirect=True)
+                return a, r2[r1[red]]
+            arena, redirect_total = jax.lax.cond(
+                nb_ok[i], fuse_i, lambda c: c, (arena, redirect_total))
+        arena = SM.apply_redirect(arena, redirect_total)
 
-        arena = SM.update_landmark_stats(arena, self.scale_factors)
+        # touched set: everything observed by the new KF or its fuse
+        # neighborhood (covers triangulations, fuse targets, culled obs)
+        rows = jnp.concatenate([jnp.reshape(slot, (1,)).astype(jnp.int32),
+                                nb_idx])
+        row_obs = arena.kf_obs_lm[rows]
+        row_live = (row_obs >= 0) & arena.kf_kp_valid[rows]
+        touched = jnp.zeros(arena.n_lm_cap, bool).at[
+            jnp.maximum(row_obs, 0).reshape(-1)].max(row_live.reshape(-1))
+        stats_caps = dict(
+            max_touched=min(max((n_neighbors + 1) * arena.n_feat,
+                                int(getattr(self.cfg, "max_local_ba_points",
+                                            16384))), arena.n_lm_cap),
+            max_obs=min(48 * arena.n_feat,
+                        arena.n_kf_cap * arena.n_feat))
+        arena = SM.update_landmark_stats_touched(
+            arena, self.scale_factors, touched, **stats_caps)
         if run_ba:
-            arena = self.local_ba(arena, slot, max_cams)
-            arena = SM.update_landmark_stats(arena, self.scale_factors)
-        arena, n_culled = self.cull_keyframes(arena, slot)
+            arena, ba_touched = self.local_ba(arena, slot, max_cams,
+                                              covis=covis)
+            arena = SM.update_landmark_stats_touched(
+                arena, self.scale_factors, ba_touched, **stats_caps)
+        arena, n_culled = self.cull_keyframes(arena, slot, covis=covis)
         # first free keyframe slot (or -1) so the host's NeedNewKeyFrame
         # check doesn't have to pull the whole validity mask
         free = ~arena.kf_valid
@@ -412,31 +549,70 @@ class MappingKernels:
 
     @functools.partial(jax.jit, static_argnums=(0, 3), donate_argnums=1)
     def cull_keyframes(self, arena: SM.MapArena, center_kf,
-                       max_culls: int = 3):
+                       max_culls: int = 3, covis=None):
         """Cull up to ``max_culls`` redundant keyframes, ONE AT A TIME with
         redundancy recomputed between culls. Redundancy is interdependent —
         two KFs each redundant GIVEN the other must not go in one batch
         (their landmarks would lose all observers). The reference's loop
         erases sequentially and re-reads live observation counts
-        (LocalMapping.cpp:561-619); a few sequential rounds per mapping
-        step keep pace with one insertion per frame."""
-        local0 = SM.covisibility_matrix(arena)[center_kf] \
-            >= self.cfg.covisibility_weight_th
+        (LocalMapping.cpp:561-619).
+
+        The (L, levels) observation-level histogram is built ONCE; each
+        round derives the redundancy scores from it and, after a cull,
+        subtracts only the culled keyframe's O(N) contribution — instead
+        of re-deriving the full O(K*N) one-hot scatter three times."""
+        K, N, L = arena.n_kf_cap, arena.n_feat, arena.n_lm_cap
+        if covis is None:
+            covis = SM.covisibility_matrix(arena)
+        local0 = covis[center_kf] >= self.cfg.covisibility_weight_th
+
+        # build the (L, levels) observation-level histogram ONCE (the only
+        # O(K*N) pass); every round then works on the <=n_cand CANDIDATE
+        # rows only — full-table gathers/scatters cost ~15 ms each on TPU
+        # and three rounds of them dominated this stage
+        seg0, live0 = SM._flat_obs(arena)
+        lev_full = jnp.clip(arena.kf_level.reshape(-1), 0, 15)
+        # flat scalar scatter — a (K*N, 16) one-hot operand would be tiled
+        # to 128 lanes (8x physical blowup) before the scatter
+        hist = jnp.zeros((L + 1) * 16).at[seg0 * 16 + lev_full].add(
+            live0.astype(jnp.float32))
+
+        n_cand = min(self.cfg.max_local_keyframes, K)
+        cand_w = jnp.where(local0 & arena.kf_valid, covis[center_kf], -1)
+        cand_w = cand_w.at[0].set(-1).at[center_kf].set(-1)
+        cw, cand_idx = jax.lax.top_k(cand_w, n_cand)
+        cand_ok = cw > 0
+        rows_obs = arena.kf_obs_lm[cand_idx]                # (C,N)
+        rows_lev = jnp.clip(arena.kf_level[cand_idx], 0, 15)
+        rows_lm = jnp.maximum(rows_obs, 0)
+        rows_live = ((rows_obs >= 0) & arena.kf_kp_valid[cand_idx]
+                     & arena.lm_valid[rows_lm] & cand_ok[:, None])
+        rows_idx_le = jnp.minimum(rows_lev + 1, 15)
 
         def one(carry, _):
-            kf_valid, n = carry
-            a = arena._replace(kf_valid=kf_valid)
-            n_red, n_tot = SM.redundant_keyframe_scores(a)
+            kf_valid, hist, n = carry
+            ok_r = rows_live & kf_valid[cand_idx][:, None]
+            cum = jnp.cumsum(hist.reshape(L + 1, 16)[:-1], axis=1)
+            n_le = cum[rows_lm, rows_idx_le]                # (C,N)
+            redundant = ok_r & (n_le - 1.0 >= 3.0)
+            n_red = jnp.sum(redundant, axis=1)
+            n_tot = jnp.sum(ok_r, axis=1)
             frac = n_red.astype(jnp.float32) / jnp.maximum(
                 n_tot.astype(jnp.float32), 1.0)
-            elig = (local0 & kf_valid
+            elig = (cand_ok & kf_valid[cand_idx]
                     & (frac > self.cfg.kf_culling_redundant_ratio))
-            elig = elig.at[0].set(False).at[center_kf].set(False)
-            worst = jnp.argmax(jnp.where(elig, frac, -1.0))
+            worst_c = jnp.argmax(jnp.where(elig, frac, -1.0))
+            worst = cand_idx[worst_c]
             any_cull = jnp.any(elig)
             kf_valid = kf_valid.at[worst].set(kf_valid[worst] & ~any_cull)
-            return (kf_valid, n + any_cull.astype(jnp.int32)), None
+            # subtract the culled KF's own observations (O(N) scatter)
+            row_ok = rows_live[worst_c] & any_cull
+            seg_row = jnp.where(row_ok, rows_lm[worst_c], L)
+            hist = hist.at[seg_row * 16 + rows_lev[worst_c]].add(
+                -row_ok.astype(jnp.float32))
+            return (kf_valid, hist, n + any_cull.astype(jnp.int32)), None
 
-        (kf_valid, n_culled), _ = jax.lax.scan(
-            one, (arena.kf_valid, jnp.int32(0)), None, length=max_culls)
+        (kf_valid, _, n_culled), _ = jax.lax.scan(
+            one, (arena.kf_valid, hist, jnp.int32(0)), None,
+            length=max_culls)
         return arena._replace(kf_valid=kf_valid), n_culled

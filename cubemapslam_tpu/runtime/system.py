@@ -84,6 +84,7 @@ class CubemapSLAM:
         self.warp_map = None          # built lazily for fisheye input
         self._native_warp = None      # host-side C++ warp (built with map)
         self._device_warp = None      # pallas device warp (TPU path)
+        self._frontend_jit = None     # fused warp+assembly program
         self.state = TrackState.NO_IMAGES_YET
         # n_kf is the MONOTONIC keyframe counter (mnId analog): landmark
         # ages and loop spacing use it. Arena slots are recycled: culled
@@ -107,6 +108,23 @@ class CubemapSLAM:
         # relocalization every frame, preferring the reloc hypothesis
         self.mb_vo = False
         self.loop_closing_enabled = True
+        # mapping-busy emulation (LocalMapping::AcceptKeyFrames,
+        # Tracking.cpp:745-760): the reference refuses keyframes while the
+        # mapper thread is occupied, which throttles insertion to mapping
+        # throughput at camera rate. Here mapping is an async device
+        # program on the same queue; its wall cost is MEASURED as the
+        # excess latency of the first post-dispatch frame sync over the
+        # typical frame sync, and insertion is refused for the
+        # camera-rate-equivalent number of frames.
+        import collections
+        # typical per-frame sync latency: MEDIAN of a small window (robust
+        # to first-call compile spikes, which would poison an EMA)
+        self._frame_dts = collections.deque(maxlen=15)
+        self._ema_mapping_s = 0.0     # measured mapping_step wall cost
+        self._mapping_pending = False
+        self._n_mapping_meas = 0
+        self._mapping_busy_until = -1  # frame id
+        self._last_pose_np = None     # host copy of the frame pose
         # Vocabulary (ORBvoc analog): either pretrained (cfg.vocab_path, the
         # reference's VOC argument) or trained on the fly — bootstrap
         # descriptors first, re-trained once on accumulated keyframe
@@ -154,14 +172,27 @@ class CubemapSLAM:
                         f"to the host warp path", RuntimeWarning)
                     self._device_warp = False
             if self._device_warp:
-                faces = self._device_warp(jnp.asarray(fisheye_img))
-                fh, fw = self.cfg.cube_face_h, self.cfg.cube_face_w
-                cube = jnp.zeros((self.cfg.cube_h, self.cfg.cube_w),
-                                 jnp.float32)
-                from cubemapslam_tpu.warp_tpu import FACE_CELLS
-                for i, (cx, cy) in enumerate(FACE_CELLS):
-                    cube = jax.lax.dynamic_update_slice(
-                        cube, faces[i], (cy * fh, cx * fw))
+                # warp + cross assembly as ONE dispatched program: each
+                # eager dynamic_update_slice is a separate tunnel dispatch
+                if self._frontend_jit is None:
+                    from cubemapslam_tpu.warp_tpu import (FACE_CELLS,
+                                                          warp_faces_device)
+                    dw = self._device_warp
+                    fh, fw = self.cfg.cube_face_h, self.cfg.cube_face_w
+                    ch, cw = self.cfg.cube_h, self.cfg.cube_w
+
+                    @jax.jit
+                    def frontend(args, img):
+                        faces = warp_faces_device(dw.plan, args, img)
+                        cube = jnp.zeros((ch, cw), jnp.float32)
+                        for i, (cx, cy) in enumerate(FACE_CELLS):
+                            cube = jax.lax.dynamic_update_slice(
+                                cube, faces[i], (cy * fh, cx * fw))
+                        return cube
+
+                    self._frontend_jit = frontend
+                cube = self._frontend_jit(self._device_warp.args,
+                                          jnp.asarray(fisheye_img))
                 return self.track_cubemap(cube, timestamp, mask)
         if self.warp_map is None:
             self.warp_map = W.build_warp_map(self.cam, self.cfg.cube_w,
@@ -199,8 +230,13 @@ class CubemapSLAM:
             self._track_frame(kp, fid, timestamp)
         if self.state == TrackState.OK:
             self.tracked_frames += 1
-            Rn = np.asarray(self.last.R)
-            tn = np.asarray(self.last.t)
+            if self._last_pose_np is not None:
+                # pose rode the packed per-frame fetch (SLAM path) — a
+                # separate np.asarray(R) is another ~26ms tunnel RPC
+                Rn, tn = self._last_pose_np
+            else:
+                Rn = np.asarray(self.last.R)
+                tn = np.asarray(self.last.t)
             self.trajectory.append((timestamp, Rn, tn))
             T = np.eye(4, dtype=np.float64)
             T[:3, :3] = Rn
@@ -303,7 +339,7 @@ class CubemapSLAM:
         self.arena = SM.update_landmark_stats(
             self.arena, self.kernels.scale_factors)
         # small global BA (GlobalBundleAdjustemnt(20), Tracking.cpp:513)
-        self.arena = self.mapping.local_ba(self.arena, 1, self.ba_cams)
+        self.arena, _ = self.mapping.local_ba(self.arena, 1, self.ba_cams)
         # current frame assoc = landmarks now attached to KF1 features
         assoc = self.arena.kf_obs_lm[1]
         self.ref_kf = 1
@@ -335,6 +371,7 @@ class CubemapSLAM:
 
     def _record_frame(self, kp, assoc, outlier, R, t, fid, ts):
         """Store the frame state with its ref-KF-relative pose."""
+        self._last_pose_np = None  # host pose not prefetched on this path
         R_ref = self.arena.kf_R[self.ref_kf]
         t_ref = self.arena.kf_t[self.ref_kf]
         Ri, ti = G.se3_inverse(R_ref, t_ref)
@@ -388,16 +425,53 @@ class CubemapSLAM:
         return R_last, t_last, R_pred, t_pred
 
     def _track_frame_slam(self, kp, fid, ts):
+        import time as _time
         k = self.kernels
-        R_last, t_last, R_pred, t_pred = self._predicted_pose()
-        (self.arena, assoc, outlier, R, t, scalars,
+        # the motion model + last-pose re-anchoring run ON DEVICE inside
+        # track_frame_full — eager per-frame 3x3 algebra here would cost
+        # one tunnel dispatch per op
+        if self.velocity is not None:
+            vel_R, vel_t = self.velocity
+            gain = jnp.float32(self.cfg.motion_model_damping)
+        else:
+            vel_R, vel_t = jnp.eye(3), jnp.zeros(3)
+            gain = jnp.float32(0.0)
+        t_sync0 = _time.perf_counter()
+        (self.arena, assoc, outlier, R, t, packed,
          vel_R, vel_t, rel_R, rel_t) = k.track_frame_full(
             self.arena, kp, self.last.assoc, self.last.outlier,
-            self.last.kp.level, self.last.kp.angle, R_pred, t_pred,
-            R_last, t_last, jnp.int32(self.ref_kf))
-        if hasattr(scalars, "copy_to_host_async"):
-            scalars.copy_to_host_async()
-        sc = np.asarray(scalars)
+            self.last.kp.level, self.last.kp.angle,
+            self.last.rel_R, self.last.rel_t,
+            jnp.int32(self.last.ref_kf), vel_R, vel_t, gain,
+            jnp.int32(self.ref_kf))
+        if hasattr(packed, "copy_to_host_async"):
+            packed.copy_to_host_async()
+        pk = np.asarray(packed)
+        sc = pk[:8]
+        self._last_pose_np = (pk[8:17].reshape(3, 3).astype(np.float64),
+                              pk[17:20].astype(np.float64))
+        # mapping-busy bookkeeping: this sync waited for any mapping step
+        # dispatched last frame; its excess latency IS the mapping cost
+        dt_sync = _time.perf_counter() - t_sync0
+        if self._mapping_pending:
+            self._mapping_pending = False
+            self._n_mapping_meas += 1
+            # the FIRST post-mapping sync includes the mapping program's
+            # compile (tens of seconds) — using it would freeze insertion
+            # for the whole run; the cap mirrors mMaxFrames (the reference
+            # forces a keyframe after fps frames regardless, c1a)
+            if len(self._frame_dts) >= 3 and self._n_mapping_meas > 1:
+                base = float(np.median(self._frame_dts))
+                est = max(0.0, dt_sync - base)
+                self._ema_mapping_s = (
+                    0.5 * self._ema_mapping_s + 0.5 * est
+                    if self._ema_mapping_s else est)
+                busy = min(int(np.ceil(self._ema_mapping_s
+                                       * self.cfg.fps)),
+                           int(self.cfg.fps))
+                self._mapping_busy_until = fid + busy
+        else:
+            self._frame_dts.append(dt_sync)
         (n, n_inl, n_final, n_ref, live_kf, first_free,
          track_ok, new_ref) = (int(x) for x in sc)
         if not track_ok or n_final < self.cfg.min_track_inliers:
@@ -414,7 +488,8 @@ class CubemapSLAM:
                                ref_kf=self.ref_kf, frame_id=fid,
                                timestamp=ts)
         self.metrics.append({"frame": fid, "inliers": n_final,
-                             "matches": n, "inliers_mm": n_inl})
+                             "matches": n, "inliers_mm": n_inl,
+                             "n_ref": n_ref})
         if self._need_new_keyframe(n_final, n_ref, first_free):
             self._create_keyframe(kp, assoc, outlier, R, t, fid, ts,
                                   slot=first_free)
@@ -487,16 +562,17 @@ class CubemapSLAM:
 
         # local-map tracking (TrackLocalMap, Tracking.cpp:679-719)
         (self.arena, assoc, outlier, R, t, n_final,
-         new_ref) = k.track_local_fused(self.arena, kp, assoc, outlier,
-                                        R, t)
+         pkf_max, pkf_votes) = k.track_local_fused(self.arena, kp, assoc,
+                                                   outlier, R, t)
         n_final_i = int(n_final)
         if n_final_i < self.cfg.min_track_inliers:
             self._set_lost(kp, fid, ts)
             return
 
         # mpReferenceKF = pKFmax (Tracking.cpp:938) — also in
-        # localization-only mode
-        self.ref_kf = int(new_ref)
+        # localization-only mode; keep the old reference on empty votes
+        if int(pkf_votes) > 0:
+            self.ref_kf = int(pkf_max)
         # motion model update (Tracking.cpp:307-316)
         R_last_inv, t_last_inv = G.se3_inverse(R_last, t_last)
         self.velocity = G.se3_compose(R, t, R_last_inv, t_last_inv)
@@ -528,6 +604,8 @@ class CubemapSLAM:
         self.ref_kf = 0
         self.bow_table = None
         self.mb_vo = False
+        self._mapping_pending = False
+        self._mapping_busy_until = -1
         self.loop_closer.reset()
 
     def _update_bow(self, slot: int, kp):
@@ -625,9 +703,23 @@ class CubemapSLAM:
             return False
         c1a = frames_since >= self.cfg.fps  # mMaxFrames = fps
         c1b = frames_since >= 0             # mMinFrames quirk: always true
+        # c2 (Tracking.cpp:754-758): tracking covers <95% of the reference
+        # KF's MATURE map points (>=3 observations, Tracking.cpp:741-748).
+        # The mature count is only a meaningful coverage denominator when
+        # the local map HAS mature mass: in a young or fast-churning map
+        # the count collapses below the inlier count, and reading that as
+        # "tracking exceeds the reference" would refuse insertion exactly
+        # when the map is starving (measured: fast-motion e2e loses
+        # tracking within 2 frames of such a refusal). A degenerate mature
+        # count is itself insertion urgency.
         c2 = (n_inliers < n_ref * self.cfg.keyframe_ref_ratio
-              and n_inliers > 15)
+              or n_ref < self.cfg.keyframe_mature_floor) and n_inliers > 15
         want = bool((c1a or c1b) and c2)
+        # LocalMapping-busy refusal (Tracking.cpp:761-771: a busy mapper
+        # rejects the insertion outright): emulated from the measured
+        # mapping wall cost at camera rate — see __init__ bookkeeping
+        if want and self.frame_id <= self._mapping_busy_until:
+            return False
         if want and first_free < 0:
             # arena truly full (even culling freed nothing): refuse loudly
             self.arena_full_refusals += 1
@@ -683,6 +775,7 @@ class CubemapSLAM:
             self.arena, jnp.int32(slot), jnp.int32(self.n_kf),
             jnp.int32(fid), max_cams=self.ba_cams,
             run_ba=self.n_kf > 2)
+        self._mapping_pending = True
 
     # ------------------------------------------------------------------
     # Output (System::SaveKeyFrameTrajectoryTUM, System.cpp:238-268)

@@ -151,9 +151,16 @@ def covisibility_matrix(arena: MapArena) -> jnp.ndarray:
     KeyFrame.cpp:315-404) as one incidence matmul; diagonal zeroed."""
     K, L = arena.n_kf_cap, arena.n_lm_cap
     seg, live = _flat_obs(arena)
-    kf_idx = jnp.repeat(jnp.arange(K, dtype=jnp.int32), arena.n_feat)
-    O = jnp.zeros((K, L + 1)).at[kf_idx, seg].max(
-        live.astype(jnp.float32))
+    # bf16 incidence: entries are exactly 0/1 (representable), products
+    # accumulate in f32 — halves the HBM traffic of the (K, L) operand
+    # and doubles MXU throughput with bitwise-identical counts. The
+    # incidence is scattered PER KEYFRAME ROW (vmap): each batch writes a
+    # VMEM-resident (L+1,) plane — a flat (K, L+1) coordinate scatter of
+    # the same K*N updates is ~25 ms on TPU, the batched form sub-ms
+    # (scatter cost tracks the scattered-into buffer size).
+    O = jax.vmap(lambda s, lv: jnp.zeros(L + 1, jnp.bfloat16).at[s].max(
+        lv.astype(jnp.bfloat16)))(
+        seg.reshape(K, arena.n_feat), live.reshape(K, arena.n_feat))
     O = O[:, :-1]
     W = jax.lax.dot_general(O, O, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
@@ -161,25 +168,28 @@ def covisibility_matrix(arena: MapArena) -> jnp.ndarray:
     return W.astype(jnp.int32)
 
 
-def update_landmark_stats(arena: MapArena,
-                          scale_factors: jnp.ndarray) -> MapArena:
-    """Recompute lm_normal, lm_min/max_dist and the distinctive descriptor
-    for ALL landmarks from the observation table (replaces incremental
-    MapPoint::UpdateNormalAndDepth cpp:332-385 and
-    ComputeDistinctiveDescriptors cpp:243-308)."""
-    K, N, L = arena.n_kf_cap, arena.n_feat, arena.n_lm_cap
-    seg, live = _flat_obs(arena)
-    kf_idx = jnp.repeat(jnp.arange(K, dtype=jnp.int32), N)
+def _stats_core(kf_frame_id, Ow, scale_factors, seg, live, kf_idx, desc,
+                lev, pos_seg, first_kf_seg, S):
+    """Per-segment landmark statistics from a generic observation list.
 
-    # camera centers Ow = -Rᵀt
-    Ow = -jnp.einsum("kij,ki->kj", arena.kf_R, arena.kf_t)  # (K,3)
-    lm_of = jnp.maximum(arena.kf_obs_lm.reshape(-1), 0)
-    d = arena.lm_pos[lm_of] - Ow[kf_idx]                     # (KN,3)
+    seg: (E,) segment id in [0, S] (S = dump). live: (E,) bool.
+    kf_idx: (E,) observing keyframe slot. desc: (E,8) uint32. lev: (E,).
+    pos_seg: (S,3) landmark world positions per segment.
+    first_kf_seg: (S,) creator keyframe slot fallback.
+
+    Returns (normal, min_dist, max_dist, desc, has_obs), each (S,...).
+    Implements MapPoint::UpdateNormalAndDepth (MapPoint.cpp:332-385) and
+    ComputeDistinctiveDescriptors (cpp:243-308) as segment reductions.
+    """
+    K = Ow.shape[0]
+    E = seg.shape[0]
+    seg_s = jnp.minimum(seg, S - 1)
+    d = pos_seg[seg_s] - Ow[kf_idx]                          # (E,3)
     dist = jnp.linalg.norm(d, axis=-1)
     dir_n = d / jnp.maximum(dist, 1e-12)[:, None]
     w = live.astype(jnp.float32)
-    normal_sum = jnp.zeros((L + 1, 3)).at[seg].add(dir_n * w[:, None])
-    cnt = jnp.zeros(L + 1).at[seg].add(w)
+    normal_sum = jnp.zeros((S + 1, 3)).at[seg].add(dir_n * w[:, None])
+    cnt = jnp.zeros(S + 1).at[seg].add(w)
     normal = normal_sum[:-1] / jnp.maximum(cnt[:-1, None], 1.0)
     nn = jnp.linalg.norm(normal, axis=-1, keepdims=True)
     normal = normal / jnp.maximum(nn, 1e-12)
@@ -191,15 +201,15 @@ def update_landmark_stats(arena: MapArena,
     # reference reassigns mpRefKF when the creating KF is erased
     # (MapPoint.cpp:118-135). Keyframe slots are recycled, so "first" is
     # by frame id, not slot index: pack (frame_id, slot) into one int key.
-    ref_kf_raw = reference_keyframes(arena, seg, live, kf_idx)
-    has_ref = ref_kf_raw < K
-    ref_kf = jnp.where(has_ref, ref_kf_raw,
-                       jnp.clip(arena.lm_first_kf, 0, K - 1))
-    d_ref = jnp.linalg.norm(
-        arena.lm_pos - Ow[ref_kf], axis=-1)
-    lev = arena.kf_level.reshape(-1)
-    lev_ref = jnp.zeros(L + 1, jnp.int32).at[seg].max(
-        jnp.where(live & (kf_idx == ref_kf[lm_of]), lev, 0))
+    key = kf_frame_id[kf_idx] * K + kf_idx
+    big = jnp.iinfo(jnp.int32).max
+    best = jnp.full(S + 1, big, jnp.int32).at[seg].min(
+        jnp.where(live, key, big))[:-1]
+    ref_kf = jnp.where(best < big, best % K,
+                       jnp.clip(first_kf_seg, 0, K - 1))
+    d_ref = jnp.linalg.norm(pos_seg - Ow[ref_kf], axis=-1)
+    lev_ref = jnp.zeros(S + 1, jnp.int32).at[seg].max(
+        jnp.where(live & (kf_idx == ref_kf[seg_s]), lev, 0))
     sf = scale_factors[jnp.clip(lev_ref[:-1], 0,
                                 scale_factors.shape[0] - 1)]
     n_levels = scale_factors.shape[0]
@@ -208,28 +218,122 @@ def update_landmark_stats(arena: MapArena,
 
     # distinctive descriptor = observation descriptor closest to the
     # bitwise-majority descriptor
-    bits = M.unpack_descriptors(
-        arena.kf_desc.reshape(-1, 8))                        # (KN,256)
-    bit_sum = jnp.zeros((L + 1, 256)).at[seg].add(bits * w[:, None])
+    bits = M.unpack_descriptors(desc)                        # (E,256)
+    bit_sum = jnp.zeros((S + 1, 256)).at[seg].add(bits * w[:, None])
     majority = (bit_sum[:-1] > 0.5 * jnp.maximum(cnt[:-1, None], 1.0))
-    ham = jnp.sum(bits != majority[jnp.minimum(seg, L - 1)].astype(
-        jnp.float32), axis=-1)
+    ham = jnp.sum(bits != majority[seg_s].astype(jnp.float32), axis=-1)
     ham = jnp.where(live, ham, 1e9)
-    best_val = jnp.full(L + 1, 1e9).at[seg].min(ham)
+    best_val = jnp.full(S + 1, 1e9).at[seg].min(ham)
     is_best = live & (ham <= best_val[seg])
     # resolve ties by flat index: smallest wins
-    flat_idx = jnp.arange(K * N, dtype=jnp.int32)
-    best_idx = jnp.full(L + 1, K * N, jnp.int32).at[seg].min(
-        jnp.where(is_best, flat_idx, K * N))
-    safe_best = jnp.minimum(best_idx[:-1], K * N - 1)
-    desc = arena.kf_desc.reshape(-1, 8)[safe_best]
+    flat_idx = jnp.arange(E, dtype=jnp.int32)
+    best_idx = jnp.full(S + 1, E, jnp.int32).at[seg].min(
+        jnp.where(is_best, flat_idx, E))
+    safe_best = jnp.minimum(best_idx[:-1], E - 1)
+    best_desc = desc[safe_best]
+    return normal, min_dist, max_dist, best_desc, cnt[:-1] > 0
 
-    has_obs = cnt[:-1] > 0
+
+def update_landmark_stats(arena: MapArena,
+                          scale_factors: jnp.ndarray) -> MapArena:
+    """Recompute lm_normal, lm_min/max_dist and the distinctive descriptor
+    for ALL landmarks from the observation table (replaces incremental
+    MapPoint::UpdateNormalAndDepth cpp:332-385 and
+    ComputeDistinctiveDescriptors cpp:243-308).
+
+    O(K*N) with a (K*N, 256) bit unpack — ~1 GB of traffic at the Lafida
+    working scale. Use ONLY for whole-map (re)builds (init, map load, loop
+    correction); the per-keyframe pipeline uses
+    update_landmark_stats_touched."""
+    K, N, L = arena.n_kf_cap, arena.n_feat, arena.n_lm_cap
+    seg, live = _flat_obs(arena)
+    kf_idx = jnp.repeat(jnp.arange(K, dtype=jnp.int32), N)
+    Ow = -jnp.einsum("kij,ki->kj", arena.kf_R, arena.kf_t)  # (K,3)
+    normal, min_dist, max_dist, desc, has_obs = _stats_core(
+        arena.kf_frame_id, Ow, scale_factors, seg, live, kf_idx,
+        arena.kf_desc.reshape(-1, 8), arena.kf_level.reshape(-1),
+        arena.lm_pos, arena.lm_first_kf, L)
     return arena._replace(
         lm_normal=jnp.where(has_obs[:, None], normal, arena.lm_normal),
         lm_min_dist=jnp.where(has_obs, min_dist, arena.lm_min_dist),
         lm_max_dist=jnp.where(has_obs, max_dist, arena.lm_max_dist),
         lm_desc=jnp.where(has_obs[:, None], desc, arena.lm_desc))
+
+
+def update_landmark_stats_touched(arena: MapArena,
+                                  scale_factors: jnp.ndarray,
+                                  touched: jnp.ndarray,
+                                  max_touched: int = 16384,
+                                  max_obs: int = 131072) -> MapArena:
+    """Update lm_normal / depth bands / distinctive descriptors for the
+    TOUCHED landmarks only (the set whose observers or positions changed
+    this step). The touched set and its observations are compacted into
+    fixed small shapes so the per-keyframe cost is O(local), not
+    O(arena capacity) — the reference updates these stats per-MapPoint
+    incrementally for exactly this reason (LocalMapping.cpp:157-158).
+
+    touched: (L,) bool. Landmarks beyond max_touched, or whose observation
+    lists overflow max_obs, keep their previous statistics for this call
+    (they are refreshed the next time they are touched; overflow needs a
+    pathological local set several times the BA window)."""
+    K, N, L = arena.n_kf_cap, arena.n_feat, arena.n_lm_cap
+    T = min(max_touched, L)
+    touched = touched & arena.lm_valid
+
+    # compact touched landmark ids -> lm_sel (T,), inverse map (L+1,)
+    rank_t = jnp.cumsum(touched.astype(jnp.int32)) - 1
+    can_t = touched & (rank_t < T)
+    lm_sel = jnp.full(T + 1, L, jnp.int32).at[
+        jnp.where(can_t, rank_t, T)].set(
+        jnp.arange(L, dtype=jnp.int32))[:-1]
+    t_ok = lm_sel < L
+    lm_sel_s = jnp.minimum(lm_sel, L - 1)
+    inv = jnp.full(L + 1, -1, jnp.int32).at[
+        jnp.where(t_ok, lm_sel_s, L)].set(
+        jnp.arange(T, dtype=jnp.int32))[:-1]
+
+    # compact the observations of touched landmarks
+    seg_full, live_full = _flat_obs(arena)
+    pid_full = inv[seg_full]                      # (K*N,) compact id or -1
+    is_t = live_full & (pid_full >= 0)
+    rank_o = jnp.cumsum(is_t.astype(jnp.int32)) - 1
+    can_o = is_t & (rank_o < max_obs)
+    obs_sel = jnp.full(max_obs + 1, K * N, jnp.int32).at[
+        jnp.where(can_o, rank_o, max_obs)].set(
+        jnp.arange(K * N, dtype=jnp.int32))[:-1]
+    o_ok = obs_sel < K * N
+    obs_sel_s = jnp.minimum(obs_sel, K * N - 1)
+
+    seg = jnp.where(o_ok, jnp.maximum(pid_full[obs_sel_s], 0), T)
+    kf_idx = (obs_sel_s // N).astype(jnp.int32)
+    desc = arena.kf_desc.reshape(-1, 8)[obs_sel_s]
+    lev = arena.kf_level.reshape(-1)[obs_sel_s]
+    Ow = -jnp.einsum("kij,ki->kj", arena.kf_R, arena.kf_t)
+    pos_seg = arena.lm_pos[lm_sel_s]
+    first_kf_seg = arena.lm_first_kf[lm_sel_s]
+
+    normal, min_dist, max_dist, desc_b, has_obs = _stats_core(
+        arena.kf_frame_id, Ow, scale_factors, seg, o_ok, kf_idx, desc,
+        lev, pos_seg, first_kf_seg, T)
+
+    # overflow insurance: only write segments whose FULL observation list
+    # made it into the compact buffer (otherwise stats would be computed
+    # from a prefix subset)
+    cnt_full = jnp.zeros(L + 1, jnp.int32).at[seg_full].add(
+        live_full.astype(jnp.int32))[:-1]
+    cnt_cpt = jnp.zeros(T + 1, jnp.int32).at[seg].add(
+        o_ok.astype(jnp.int32))[:-1]
+    complete = cnt_cpt == cnt_full[lm_sel_s]
+    upd = t_ok & has_obs & complete
+    tgt = jnp.where(upd, lm_sel_s, L)
+
+    pad = lambda a: jnp.concatenate(  # noqa: E731
+        [a, jnp.zeros((1,) + a.shape[1:], a.dtype)], 0)
+    return arena._replace(
+        lm_normal=pad(arena.lm_normal).at[tgt].set(normal)[:-1],
+        lm_min_dist=pad(arena.lm_min_dist).at[tgt].set(min_dist)[:-1],
+        lm_max_dist=pad(arena.lm_max_dist).at[tgt].set(max_dist)[:-1],
+        lm_desc=pad(arena.lm_desc).at[tgt].set(desc_b)[:-1])
 
 
 def predict_scale(dist: jnp.ndarray, max_dist: jnp.ndarray,

@@ -45,11 +45,12 @@ def main():
     slam = CubemapSLAM(cfg)
     mask = fov_mask(slam.cam, cfg.cube_w, cfg.cube_h)
     pts, patches = e2e.make_world(rng, n=600)
+    ren = e2e.Renderer(slam.cam, cfg, "cubemap")
     poses = e2e.trajectory_poses(16)
     est = {}
     t0 = time.time()
     for k, (R, t) in enumerate(poses):
-        img = e2e.render(slam.cam, cfg, pts, patches, R, t)
+        img = ren.render(pts, patches, R, t)
         T = slam.track_cubemap(jnp.asarray(img), float(k) / 10.0, mask=mask)
         if T is not None:
             est[k] = T

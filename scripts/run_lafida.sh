@@ -5,9 +5,11 @@ set -euo pipefail
 DATA=${1:?dataset dir}
 OUT=${2:-out/lafida}
 mkdir -p "$OUT"
+# CONFIG: path to a reference-format calibration YAML; "none" uses the
+# built-in defaults, which ARE the Lafida cam0 calibration
 python -m cubemapslam_tpu.apps.run_lafida \
-    none \
-    "${CONFIG:-Config/lafida_cam0_params.yaml}" \
+    "${VOC:-none}" \
+    "${CONFIG:-none}" \
     "$DATA/images" \
     "$DATA/image_list.txt" \
     "${MASK:-none}" \

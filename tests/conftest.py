@@ -60,3 +60,16 @@ def small_cam(small_cfg) -> CubemapCamera:
 @pytest.fixture()
 def rng():
     return np.random.default_rng(42)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jit_caches_per_module():
+    """Drop compiled programs between test modules.
+
+    The e2e/system modules each compile dozens of per-config programs;
+    accumulated executables previously aborted the suite mid-run with
+    'Fatal Python error: Aborted' inside backend_compile (round-3
+    verdict #5 / weak #5). Clearing at module boundaries caps resident
+    compile memory at one module's worth."""
+    yield
+    jax.clear_caches()

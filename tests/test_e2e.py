@@ -28,8 +28,7 @@ class TestEndToEnd:
         cfg = SlamConfig(cube_face_w=160, cube_face_h=160, n_features=600,
                          n_levels=3, max_keyframes=24, max_landmarks=4096,
                          min_init_keypoints=80, min_init_matches=60,
-                         min_track_inliers=20, fps=5.0,
-                         motion_model_damping=0.0)
+                         min_track_inliers=20, fps=5.0)
         slam = CubemapSLAM(cfg)
         mask = fov_mask(slam.cam, cfg.cube_w, cfg.cube_h)
         pts, patches = make_world(rng, n=600)
@@ -64,8 +63,7 @@ class TestEndToEnd:
         cfg = SlamConfig(cube_face_w=160, cube_face_h=160, n_features=600,
                          n_levels=3, max_keyframes=24, max_landmarks=4096,
                          min_init_keypoints=80, min_init_matches=60,
-                         min_track_inliers=20, fps=5.0,
-                         motion_model_damping=0.0)
+                         min_track_inliers=20, fps=5.0)
         slam = CubemapSLAM(cfg)
         mask = fov_mask(slam.cam, cfg.cube_w, cfg.cube_h)
         pts, patches = make_world(rng, n=600)
@@ -160,9 +158,7 @@ class TestHardScenarios:
             x = x + np.array([step, 0, step * 0.5], np.float32)
             yaw += yr
             poses.append(_pose(_yaw(yaw), x.copy()))
-        # damping 0: the harsh small-focal regime (see NOTES_TPU.md r3)
-        slam, est, ate, span = _run_scenario(rng, poses, n_world=1600,
-                                             motion_model_damping=0.0)
+        slam, est, ate, span = _run_scenario(rng, poses, n_world=1600)
         assert slam.state == TrackState.OK
         assert len(est) >= 12, sorted(est)
         # fast motion trades accuracy for robustness: ~2x the drift bound

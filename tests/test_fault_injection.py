@@ -25,8 +25,7 @@ def build(rng, n_frames):
     cfg = SlamConfig(cube_face_w=160, cube_face_h=160, n_features=600,
                      n_levels=3, max_keyframes=32, max_landmarks=8192,
                      min_init_keypoints=80, min_init_matches=60,
-                     min_track_inliers=20, fps=5.0,
-                     motion_model_damping=0.0)
+                     min_track_inliers=20, fps=5.0)
     slam = CubemapSLAM(cfg)
     mask = fov_mask(slam.cam, cfg.cube_w, cfg.cube_h)
     poses = forward_trajectory(n_frames)

@@ -24,15 +24,11 @@ from cubemapslam_tpu.warp import fov_mask
 
 
 def loop_cfg(**kw):
-    # motion_model_damping=0: at this face scale (f=80px) the per-frame
-    # motion noise makes full constant-velocity extrapolation unstable
-    # (see NOTES_TPU.md round 3); the reference regime (650^2) uses 1.0
     return SlamConfig(cube_face_w=160, cube_face_h=160, n_features=600,
                       n_levels=3, max_keyframes=144, max_landmarks=16384,
                       min_init_keypoints=80, min_init_matches=60,
                       init_min_triangulated=40, init_good_ratio=0.75,
-                      min_track_inliers=20, fps=5.0,
-                      motion_model_damping=0.0, **kw)
+                      min_track_inliers=20, fps=5.0, **kw)
 
 
 def ate_of(slam, centers_gt):
