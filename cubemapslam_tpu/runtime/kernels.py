@@ -339,6 +339,15 @@ class TrackingKernels:
         t_ref = arena.kf_t[last_ref]
         R_last, t_last = G.se3_compose(rel_R, rel_t, R_ref, t_ref)
         tw = G.se3_log(vel_R, vel_t) * vel_gain
+        # velocity plausibility gate: a re-anchoring jump after a bundle
+        # adjustment that MOVED the reference keyframe lands in the
+        # frame-to-frame velocity; extrapolating it doubles the jump and
+        # the next frame's windows land on nothing (measured: a single
+        # 0.13 rad pose correction became a permanent tracking loss).
+        # 0.2 rad/frame is far beyond any plausible camera rotation at
+        # camera rate; implausible velocities predict from the last pose.
+        rot_mag = jnp.linalg.norm(tw[3:6])
+        tw = jnp.where(rot_mag < 0.2, tw, 0.0)
         Rv, tv = G.se3_exp(tw)
         R_pred, t_pred = G.se3_compose(Rv, tv, R_last, t_last)
         st = self.track_motion_fused(arena, kp_cur, last_assoc,
