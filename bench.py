@@ -3,46 +3,90 @@
 Reference protocol (Examples/cubemap_lafida.cpp:128-179 +
 Scripts/runCubemapLafida.sh): per frame, warp the fisheye to the cubemap
 and call TrackCubemap; report the MEDIAN per-frame tracking time and the
-tracked-frames ratio. This drives the full product pipeline at the Lafida
+tracked-frames ratio, and save the keyframe trajectory for ATE
+(System.cpp:238-268). This drives the full product pipeline at the Lafida
 cam0 working configuration (650^2 faces, 2000 features, 8 levels):
 
   raw-fisheye upload (0.36MB) -> on-device pallas warp -> ORB extraction
   -> fused motion/widen/fallback/TrackLocalMap program (one packed-scalar
   fetch per frame) -> keyframe insertion + fire-and-forget mapping step
-  (triangulation + fuse + local BA + culling) -> loop detection.
+  (triangulation + fuse + culling; local BA deferred to the next
+  KF-free frame, LocalMapping.cpp:84-90) -> loop detection.
 
 Frames are rendered offline by the synthetic billboard renderer
 (cubemapslam_tpu/synth.py) along a gentle forward trajectory with exact
-ground truth; rendering happens before the timed loop.
+ground truth; rendering happens before the timed loop. After the timed
+loop a short SYNCED pass attributes per-stage cost (warp / extract /
+track / mapping / BA), and ATE RMSE is computed by Sim3-aligning the
+keyframe trajectory to ground truth (the TUM trajectory is written to
+artifacts/bench_traj.tum).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 vs_baseline is against the 30 frames/s camera rate the reference targets
 ("real-time", README.md:53) — the repo records no concrete C++ number
-(BASELINE.md).
+(BASELINE.md). If tracked_frames_ratio < 0.9 the run is flagged
+status=TRACKING_LOST: the fps number then measures relocalization, not
+tracking, and must not be read as a pass.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def setup_compile_cache():
+    """Persistent compilation cache: cold-start at the working scale was
+    ~76 s of compile per run without it (VERDICT r4 weak #6)."""
+    import jax
+    cache_dir = os.environ.get("CUBEMAP_JAX_CACHE",
+                               os.path.join(_REPO, ".jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception as e:  # cache is an optimization, never a hard dep
+        print(f"# compilation cache unavailable: {e!r}", file=sys.stderr)
+
+
+def ate_rmse(slam, centers_gt):
+    """Sim3-align keyframe centers to ground truth; RMSE in GT units
+    (the reference saves the TUM trajectory for exactly this evaluation,
+    System.cpp:238-268)."""
+    import jax.numpy as jnp
+    from cubemapslam_tpu.solvers.horn import horn_alignment
+    valid = np.asarray(slam.arena.kf_valid)
+    fids = np.asarray(slam.arena.kf_frame_id)
+    Rs = np.asarray(slam.arena.kf_R)
+    ts = np.asarray(slam.arena.kf_t)
+    ks = np.where(valid)[0]
+    if len(ks) < 3:
+        return None
+    est = np.stack([-Rs[k].T @ ts[k] for k in ks])
+    gt = np.stack([centers_gt[fids[k]] for k in ks])
+    s, Ra, ta = horn_alignment(jnp.asarray(gt, jnp.float32),
+                               jnp.asarray(est, jnp.float32))
+    aligned = float(s) * (np.asarray(Ra) @ est.T).T + np.asarray(ta)
+    return float(np.sqrt(np.mean(np.sum((aligned - gt) ** 2, axis=1))))
+
 
 def main():
+    setup_compile_cache()
     import jax
-    import jax.numpy as jnp
     from cubemapslam_tpu.config import SlamConfig
-    from cubemapslam_tpu.runtime.system import CubemapSLAM
+    from cubemapslam_tpu.runtime.system import CubemapSLAM, TrackState
     from cubemapslam_tpu.synth import (Renderer, forward_trajectory,
                                        make_world)
     from cubemapslam_tpu.warp import fov_mask
 
-    import os
     # Lafida cam0 defaults: 650^2 faces, 2000 features. The pretrained
     # vocabulary artifact (ORBvoc analog) avoids the mid-run bootstrap
     # retrain stall (round-3 verdict weak #6).
-    voc = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "artifacts", "vocab_synth_10k.npz")
+    voc = os.path.join(_REPO, "artifacts", "vocab_synth_10k.npz")
     cfg = SlamConfig(vocab_path=voc if os.path.exists(voc) else None)
     slam = CubemapSLAM(cfg)
     mask = fov_mask(slam.cam, cfg.cube_w, cfg.cube_h)
@@ -50,7 +94,8 @@ def main():
     # ---- offline: render the sequence (not timed) ----
     rng = np.random.default_rng(0)
     n_frames = 220
-    poses = forward_trajectory(n_frames, step=0.02, yaw_rate=0.002)
+    n_attr = 8            # extra frames for the synced stage-attribution pass
+    poses = forward_trajectory(n_frames + n_attr, step=0.02, yaw_rate=0.002)
     centers = np.stack([-R.T @ t for R, t in poses])
     pts, patches = make_world(rng, n=1200, centers=centers,
                               fx=float(slam.cam.fxycxy[0]))
@@ -58,48 +103,85 @@ def main():
     t0 = time.time()
     frames = [ren.render(pts, patches, R, t).astype(np.uint8)
               for R, t in poses]
-    print(f"# rendered {n_frames} fisheye frames "
-          f"({time.time() - t0:.0f}s)", file=sys.stderr,
-          flush=True)
+    print(f"# rendered {len(frames)} fisheye frames "
+          f"({time.time() - t0:.0f}s)", file=sys.stderr, flush=True)
 
     # ---- timed loop: the real tracker ----
     warmup = 30
-    times = []
+    recs = []             # (dt, state_ok, kf_created)
+    compile_s = None
     prev_state = None
-    for k, img in enumerate(frames):
+    verbose = os.environ.get("CUBEMAP_BENCH_VERBOSE")
+    for k in range(n_frames):
+        n_kf_before = slam.n_kf
         t1 = time.perf_counter()
-        slam.track_fisheye(img, k / cfg.fps, mask=mask)
+        slam.track_fisheye(frames[k], k / cfg.fps, mask=mask)
         dt = time.perf_counter() - t1
+        if k == 0:
+            compile_s = dt
         if k >= warmup:
-            times.append(dt)
+            recs.append((dt, slam.state == TrackState.OK,
+                         slam.n_kf > n_kf_before))
         if slam.state.name != prev_state:
             m = slam.metrics[-1] if slam.metrics else {}
             print(f"# frame {k}: -> {slam.state.name} kf={slam.n_kf} {m}",
                   file=sys.stderr, flush=True)
             prev_state = slam.state.name
-        if k % 50 == 0:
+        if verbose and slam.metrics:
+            print(f"# f{k} {slam.state.name} kf={slam.n_kf} "
+                  f"{dt*1000:.0f}ms {slam.metrics[-1]}",
+                  file=sys.stderr, flush=True)
+        elif k % 50 == 0:
             print(f"# frame {k}: state={slam.state.name} "
                   f"kf={slam.n_kf} {dt*1000:.0f}ms",
                   file=sys.stderr, flush=True)
 
-    med = float(np.median(times))
-    mean = float(np.mean(times))
-    fps = 1.0 / med
+    # ---- synced per-stage attribution pass (not part of the timed stats:
+    # the value-syncs serialize the device queue) ----
+    slam.stage_times = {}
+    for k in range(n_frames, n_frames + n_attr):
+        slam.track_fisheye(frames[k], k / cfg.fps, mask=mask)
+    stages = {name: round(float(np.median(v)), 2)
+              for name, v in slam.stage_times.items()}
+    slam.stage_times = None
+
+    # ---- accuracy: ATE vs the renderer's exact ground truth + TUM ----
+    ate = ate_rmse(slam, centers)
+    span = float(np.linalg.norm(centers.max(0) - centers.min(0)))
+    os.makedirs(os.path.join(_REPO, "artifacts"), exist_ok=True)
+    slam.save_keyframe_trajectory_tum(
+        os.path.join(_REPO, "artifacts", "bench_traj.tum"))
+
+    dts = np.array([r[0] for r in recs])
+    ok = np.array([r[1] for r in recs])
+    kfc = np.array([r[2] for r in recs])
+    med = float(np.median(dts))
+    ok_dts = dts[ok] if ok.any() else dts
+    steady = dts[ok & ~kfc] if (ok & ~kfc).any() else ok_dts
     tracked_ratio = slam.tracked_frames / max(slam.total_frames, 1)
     live_kf = int(np.asarray(slam.arena.kf_valid).sum())
-    print(json.dumps({
+    fps = 1.0 / med
+    out = {
         "metric": "real_tracker_frames_per_second_per_chip",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 30.0, 3),
-        "median_ms": round(med * 1000.0, 2),
-        "mean_ms": round(mean * 1000.0, 2),
-        "p90_ms": round(float(np.percentile(times, 90)) * 1000.0, 2),
+        "status": ("OK" if tracked_ratio >= 0.9 else "TRACKING_LOST"),
+        "median_ms": round(med * 1e3, 2),
+        "mean_ms": round(float(np.mean(dts)) * 1e3, 2),
+        "p90_ms": round(float(np.percentile(dts, 90)) * 1e3, 2),
+        "ok_frames_median_ms": round(float(np.median(ok_dts)) * 1e3, 2),
+        "steady_track_median_ms": round(float(np.median(steady)) * 1e3, 2),
         "tracked_frames_ratio": round(tracked_ratio, 3),
         "keyframes": slam.n_kf,
         "live_keyframes": live_kf,
         "loops_closed": slam.n_loops_closed,
-    }))
+        "ate_rmse": (round(ate, 4) if ate is not None else None),
+        "scene_span": round(span, 2),
+        "stage_median_ms": stages,
+        "compile_s": round(compile_s, 1) if compile_s else None,
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -98,7 +98,21 @@ class SlamConfig:
     min_track_inliers: int = 30     # Tracking.cpp:716
     min_track_inliers_after_reloc: int = 50  # Tracking.cpp:712
     max_local_keyframes: int = 80   # Tracking.cpp:934
-    keyframe_ref_ratio: float = 0.95  # Tracking.cpp:757
+    # Keyframe cadence (TPU redesign of NeedNewKeyFrame's c2,
+    # Tracking.cpp:754-758): the reference's `inliers < 0.95*nRefMatches`
+    # is throttled in practice by its mapper-busy refusal (mono inserts
+    # are refused whenever LocalMapping is occupied, Tracking.cpp:761-771)
+    # — matcher re-detection recall is well under 95%, so the ratio test
+    # alone fires every frame. A deterministic runtime cannot couple
+    # cadence to wall clock, and this arena's 6-neighbor triangulation
+    # saturates the mature reference count (measured: n_ref ~1300 vs
+    # ~400 frame inliers at the Lafida scale => KF every frame). Instead,
+    # insert when the frame's tracked-inlier count decays below this
+    # fraction of the PEAK inlier count since the last insertion —
+    # like-for-like, so invariant to detector recall and map density.
+    # Two consecutive frames must be below the bar (single-frame dips are
+    # matcher noise, measured +-30% frame to frame).
+    keyframe_inlier_decay: float = 0.6
     # NeedNewKeyFrame's c2 compares tracked inliers against the reference
     # KF's MATURE point count (>=3 obs, Tracking.cpp:741-748). When that
     # count is below this floor, the local map is too young/thin for the
@@ -111,12 +125,12 @@ class SlamConfig:
     # (Tracking.cpp:626-631), 0.0 = predict from the last pose. See
     # runtime/system._predicted_pose for the stability analysis.
     motion_model_damping: float = 1.0
-    # minimum frames between keyframes BEYOND the reference's conditions:
-    # emulates the reference's LocalMapping-busy refusal (mono
-    # NeedNewKeyFrame returns false while the mapper is occupied,
-    # Tracking.cpp:745-760) in this synchronous runtime, where the mapper
-    # is otherwise always "idle" and the mMinFrames=0 quirk admits a
-    # keyframe every frame. 0 = reference quirk behavior.
+    # minimum frames between keyframes BEYOND the reference's conditions
+    # (the mMinFrames=0 quirk admits a keyframe every frame,
+    # Tracking.cpp:752 vs ctor 67-71). 0 = reference quirk behavior.
+    # Keyframe cadence is otherwise purely map-state-driven; the
+    # reference's mapper-busy refusal maps to the deferred-BA protocol
+    # (see runtime/system._local_mapping), never to wall-clock time.
     min_keyframe_gap: int = 0
 
     # --- Chi-square gates ---

@@ -495,7 +495,7 @@ class MappingKernels:
         winner = jnp.argmin(all_cos, axis=0)
         win_ok = ok_b & (winner[None, :] == jnp.arange(
             n_neighbors)[:, None])
-        arena, _ = self.commit_new_landmarks_multi(
+        arena, n_new = self.commit_new_landmarks_multi(
             arena, slot, nb_idx, Xw_b, win_ok, idx2_b,
             kf_counter - 1, frame_id)
 
@@ -541,7 +541,44 @@ class MappingKernels:
         # check doesn't have to pull the whole validity mask
         free = ~arena.kf_valid
         first_free = jnp.where(jnp.any(free), jnp.argmax(free), -1)
-        return arena, jnp.stack([n_culled, first_free.astype(jnp.int32)])
+        # diagnostics (fire-and-forget in production — never fetched; the
+        # working-scale debug driver pulls them): new triangulations, live
+        # landmark count, live obs in the new KF's row
+        n_live_lm = jnp.sum(arena.lm_valid.astype(jnp.int32))
+        row = arena.kf_obs_lm[slot]
+        n_row = jnp.sum(((row >= 0) & arena.kf_kp_valid[slot]
+                         & arena.lm_valid[jnp.maximum(row, 0)])
+                        .astype(jnp.int32))
+        return arena, jnp.stack([n_culled, first_free.astype(jnp.int32),
+                                 n_new, n_live_lm, n_row])
+
+    # ------------------------------------------------------------------
+    # Deferred local BA (LocalMapping.cpp:84-90: BA runs only when the
+    # keyframe queue is empty; a new arrival aborts it via mbAbortBA).
+    # Dispatched by the host on the first non-inserting frame after a
+    # keyframe; a pending BA is dropped when a newer keyframe supersedes
+    # it. Splitting BA out of mapping_step also halves the worst-case
+    # single-frame device latency (BA and mapping land on different
+    # frames' sync windows).
+    # ------------------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=(0, 3), donate_argnums=1)
+    def ba_step(self, arena: SM.MapArena, slot, max_cams: int = 48):
+        """local_ba around ``slot`` + touched-landmark stats refresh, as
+        one program. No-ops (identity arena) when the slot is no longer a
+        valid keyframe (culled or loop-replaced since the deferral)."""
+        stats_caps = dict(
+            max_touched=min(int(getattr(self.cfg, "max_local_ba_points",
+                                        16384)), arena.n_lm_cap),
+            max_obs=min(48 * arena.n_feat,
+                        arena.n_kf_cap * arena.n_feat))
+
+        def run(arena):
+            arena, touched = self.local_ba(arena, slot, max_cams)
+            return SM.update_landmark_stats_touched(
+                arena, self.scale_factors, touched, **stats_caps)
+
+        return jax.lax.cond(arena.kf_valid[slot], run, lambda a: a, arena)
 
     # ------------------------------------------------------------------
     # KeyFrameCulling (LocalMapping.cpp:561-619)

@@ -108,23 +108,22 @@ class CubemapSLAM:
         # relocalization every frame, preferring the reloc hypothesis
         self.mb_vo = False
         self.loop_closing_enabled = True
-        # mapping-busy emulation (LocalMapping::AcceptKeyFrames,
-        # Tracking.cpp:745-760): the reference refuses keyframes while the
-        # mapper thread is occupied, which throttles insertion to mapping
-        # throughput at camera rate. Here mapping is an async device
-        # program on the same queue; its wall cost is MEASURED as the
-        # excess latency of the first post-dispatch frame sync over the
-        # typical frame sync, and insertion is refused for the
-        # camera-rate-equivalent number of frames.
-        import collections
-        # typical per-frame sync latency: MEDIAN of a small window (robust
-        # to first-call compile spikes, which would poison an EMA)
-        self._frame_dts = collections.deque(maxlen=15)
-        self._ema_mapping_s = 0.0     # measured mapping_step wall cost
-        self._mapping_pending = False
-        self._n_mapping_meas = 0
-        self._mapping_busy_until = -1  # frame id
+        # Deferred local BA (LocalMapping::Run, LocalMapping.cpp:84-90):
+        # the reference runs LocalBundleAdjustment only when its keyframe
+        # queue is EMPTY, and aborts it (mbAbortBA) when a new keyframe
+        # arrives mid-solve. The functional analog: keyframe insertion
+        # dispatches the mapping step WITHOUT BA; the BA program is
+        # dispatched on the first subsequent frame that does NOT insert a
+        # keyframe, and a pending BA is dropped when a new keyframe
+        # preempts it. Keyframe cadence therefore depends only on map
+        # state, never on measured wall time.
+        self._ba_pending_slot = None  # arena slot awaiting deferred BA
         self._last_pose_np = None     # host copy of the frame pose
+        # keyframe-cadence state (see SlamConfig.keyframe_inlier_decay):
+        # peak tracked-inlier count since the last insertion + the
+        # previous frame's count (two-frame confirmation)
+        self._kf_inlier_peak = 0
+        self._prev_n_final = 0
         # Vocabulary (ORBvoc analog): either pretrained (cfg.vocab_path, the
         # reference's VOC argument) or trained on the fly — bootstrap
         # descriptors first, re-trained once on accumulated keyframe
@@ -142,6 +141,40 @@ class CubemapSLAM:
         self.tracked_frames = 0       # frame_counter analog (Tracking.cpp:46)
         self.total_frames = 0
         self.metrics: List[dict] = []
+        # per-stage attribution (SURVEY.md §5 tracing): set to a dict to
+        # enable SYNCED stage timing — each stage then blocks on its
+        # outputs and records wall ms under stage_times[name]. Off (None)
+        # in production: the syncs serialize the device queue and inflate
+        # per-frame latency, so the bench only enables this for a short
+        # post-run attribution pass.
+        self.stage_times: Optional[dict] = None
+        self._stage_t0 = 0.0
+
+    def _stage(self, name: str, *arrays):
+        if self.stage_times is None:
+            return
+        import time as _t
+        # VALUE sync, not block_until_ready: over the axon tunnel
+        # block_until_ready returns at RPC-ack, before the program actually
+        # finished (NOTES_TPU.md "Transport"). Fetch the smallest leaf so
+        # transfer time doesn't pollute the stage measurement.
+        for a in arrays:
+            leaves = [x for x in jax.tree.leaves(a)
+                      if hasattr(x, "dtype")]
+            if not leaves:
+                continue
+            small = min(leaves, key=lambda x: x.size)
+            np.asarray(small if small.size <= 4096 else small.ravel()[:8])
+        now = _t.perf_counter()
+        self.stage_times.setdefault(name, []).append(
+            (now - self._stage_t0) * 1e3)
+        self._stage_t0 = now
+
+    def _stage_start(self):
+        if self.stage_times is None:
+            return
+        import time as _t
+        self._stage_t0 = _t.perf_counter()
 
     # ------------------------------------------------------------------
     # Public API (System.h:62-91 analog)
@@ -191,8 +224,10 @@ class CubemapSLAM:
                         return cube
 
                     self._frontend_jit = frontend
+                self._stage_start()
                 cube = self._frontend_jit(self._device_warp.args,
                                           jnp.asarray(fisheye_img))
+                self._stage("warp", cube)
                 return self.track_cubemap(cube, timestamp, mask)
         if self.warp_map is None:
             self.warp_map = W.build_warp_map(self.cam, self.cfg.cube_w,
@@ -217,8 +252,10 @@ class CubemapSLAM:
         pre_init = self.state in (TrackState.NO_IMAGES_YET,
                                   TrackState.NOT_INITIALIZED)
         extract = self.extract_init if pre_init else self.extract
+        self._stage_start()
         kp = extract(jnp.asarray(cube_img),
                      None if mask is None else jnp.asarray(mask))
+        self._stage("extract", kp)
         fid = self.frame_id
         self.frame_id += 1
         if self.state in (TrackState.NO_IMAGES_YET,
@@ -425,7 +462,6 @@ class CubemapSLAM:
         return R_last, t_last, R_pred, t_pred
 
     def _track_frame_slam(self, kp, fid, ts):
-        import time as _time
         k = self.kernels
         # the motion model + last-pose re-anchoring run ON DEVICE inside
         # track_frame_full — eager per-frame 3x3 algebra here would cost
@@ -436,7 +472,6 @@ class CubemapSLAM:
         else:
             vel_R, vel_t = jnp.eye(3), jnp.zeros(3)
             gain = jnp.float32(0.0)
-        t_sync0 = _time.perf_counter()
         (self.arena, assoc, outlier, R, t, packed,
          vel_R, vel_t, rel_R, rel_t) = k.track_frame_full(
             self.arena, kp, self.last.assoc, self.last.outlier,
@@ -447,31 +482,10 @@ class CubemapSLAM:
         if hasattr(packed, "copy_to_host_async"):
             packed.copy_to_host_async()
         pk = np.asarray(packed)
+        self._stage("track", packed)
         sc = pk[:8]
         self._last_pose_np = (pk[8:17].reshape(3, 3).astype(np.float64),
                               pk[17:20].astype(np.float64))
-        # mapping-busy bookkeeping: this sync waited for any mapping step
-        # dispatched last frame; its excess latency IS the mapping cost
-        dt_sync = _time.perf_counter() - t_sync0
-        if self._mapping_pending:
-            self._mapping_pending = False
-            self._n_mapping_meas += 1
-            # the FIRST post-mapping sync includes the mapping program's
-            # compile (tens of seconds) — using it would freeze insertion
-            # for the whole run; the cap mirrors mMaxFrames (the reference
-            # forces a keyframe after fps frames regardless, c1a)
-            if len(self._frame_dts) >= 3 and self._n_mapping_meas > 1:
-                base = float(np.median(self._frame_dts))
-                est = max(0.0, dt_sync - base)
-                self._ema_mapping_s = (
-                    0.5 * self._ema_mapping_s + 0.5 * est
-                    if self._ema_mapping_s else est)
-                busy = min(int(np.ceil(self._ema_mapping_s
-                                       * self.cfg.fps)),
-                           int(self.cfg.fps))
-                self._mapping_busy_until = fid + busy
-        else:
-            self._frame_dts.append(dt_sync)
         (n, n_inl, n_final, n_ref, live_kf, first_free,
          track_ok, new_ref) = (int(x) for x in sc)
         if not track_ok or n_final < self.cfg.min_track_inliers:
@@ -490,9 +504,17 @@ class CubemapSLAM:
         self.metrics.append({"frame": fid, "inliers": n_final,
                              "matches": n, "inliers_mm": n_inl,
                              "n_ref": n_ref})
+        self._kf_inlier_peak = max(self._kf_inlier_peak, n_final)
         if self._need_new_keyframe(n_final, n_ref, first_free):
             self._create_keyframe(kp, assoc, outlier, R, t, fid, ts,
                                   slot=first_free)
+            self._stage("insert+mapping", self.arena.kf_valid)
+        elif self._ba_pending_slot is not None:
+            # KF queue empty this frame: run the deferred local BA
+            # (LocalMapping.cpp:84-90 — BA only when no new KF is waiting)
+            self._dispatch_deferred_ba()
+            self._stage("local_ba", self.arena.kf_valid)
+        self._prev_n_final = n_final
 
     def _track_frame_localization(self, kp, fid, ts):
         k = self.kernels
@@ -604,8 +626,9 @@ class CubemapSLAM:
         self.ref_kf = 0
         self.bow_table = None
         self.mb_vo = False
-        self._mapping_pending = False
-        self._mapping_busy_until = -1
+        self._ba_pending_slot = None
+        self._kf_inlier_peak = 0
+        self._prev_n_final = 0
         self.loop_closer.reset()
 
     def _update_bow(self, slot: int, kp):
@@ -677,6 +700,8 @@ class CubemapSLAM:
             self.velocity = None
             self.state = TrackState.OK
             self.mb_vo = False
+            self._kf_inlier_peak = 0
+            self._prev_n_final = 0
             return True
         return False
 
@@ -697,29 +722,22 @@ class CubemapSLAM:
         """NeedNewKeyFrame (Tracking.cpp:721-774). n_ref and first_free
         arrive in the per-frame packed scalars — no extra device fetch."""
         frames_since = self.frame_id - self.last_kf_frame_id
-        # mapping-busy emulation (frames_since is 2 on the very next frame
-        # after an insertion: frame_id is post-incremented)
+        # (frames_since is 2 on the very next frame after an insertion:
+        # frame_id is post-incremented)
         if frames_since < 2 + self.cfg.min_keyframe_gap:
             return False
         c1a = frames_since >= self.cfg.fps  # mMaxFrames = fps
-        c1b = frames_since >= 0             # mMinFrames quirk: always true
-        # c2 (Tracking.cpp:754-758): tracking covers <95% of the reference
-        # KF's MATURE map points (>=3 observations, Tracking.cpp:741-748).
-        # The mature count is only a meaningful coverage denominator when
-        # the local map HAS mature mass: in a young or fast-churning map
-        # the count collapses below the inlier count, and reading that as
-        # "tracking exceeds the reference" would refuse insertion exactly
-        # when the map is starving (measured: fast-motion e2e loses
-        # tracking within 2 frames of such a refusal). A degenerate mature
-        # count is itself insertion urgency.
-        c2 = (n_inliers < n_ref * self.cfg.keyframe_ref_ratio
-              or n_ref < self.cfg.keyframe_mature_floor) and n_inliers > 15
-        want = bool((c1a or c1b) and c2)
-        # LocalMapping-busy refusal (Tracking.cpp:761-771: a busy mapper
-        # rejects the insertion outright): emulated from the measured
-        # mapping wall cost at camera rate — see __init__ bookkeeping
-        if want and self.frame_id <= self._mapping_busy_until:
-            return False
+        # c2 redesigned (see SlamConfig.keyframe_inlier_decay): insert
+        # when tracking DECAYS — two consecutive frames below
+        # decay * peak-since-last-insertion — or when the local map is too
+        # young/thin for coverage to mean anything (the mature reference
+        # count below the floor is itself insertion urgency: a starving
+        # fast-motion run loses tracking within frames of a refusal,
+        # NOTES_TPU round 4).
+        bar = self.cfg.keyframe_inlier_decay * self._kf_inlier_peak
+        c2_decay = max(n_inliers, self._prev_n_final) < bar
+        c2_young = n_ref < self.cfg.keyframe_mature_floor
+        want = bool((c1a or c2_decay or c2_young) and n_inliers > 15)
         if want and first_free < 0:
             # arena truly full (even culling freed nothing): refuse loudly
             self.arena_full_refusals += 1
@@ -742,6 +760,10 @@ class CubemapSLAM:
         self.n_kf += 1
         self.ref_kf = slot
         self.last_kf_frame_id = fid
+        # cadence baseline re-establishes from the enriched post-mapping
+        # map (the first post-insertion frames set the new peak)
+        self._kf_inlier_peak = 0
+        self._prev_n_final = 0
         self._update_bow(slot, kp)
         # the frame that spawned this KF is re-anchored to it exactly
         self.last.ref_kf = slot
@@ -769,13 +791,33 @@ class CubemapSLAM:
         """One fused fire-and-forget device program (mapping_step); the
         host never syncs on mapping, so the next frame's host work (render/
         load/dispatch) overlaps it — the functional analog of the
-        reference's LocalMapping thread (System.cpp:108-128)."""
+        reference's LocalMapping thread (System.cpp:108-128).
+
+        Local BA does NOT run here: it is deferred to the first subsequent
+        frame with no keyframe insertion (the reference runs BA only when
+        its KF queue is empty and aborts it when a new KF arrives,
+        LocalMapping.cpp:84-90); see _dispatch_deferred_ba."""
         fid = self.last_kf_frame_id
-        self.arena, _info = self.mapping.mapping_step(
+        self.arena, self._last_mapping_info = self.mapping.mapping_step(
             self.arena, jnp.int32(slot), jnp.int32(self.n_kf),
             jnp.int32(fid), max_cams=self.ba_cams,
-            run_ba=self.n_kf > 2)
-        self._mapping_pending = True
+            run_ba=False)
+        # a BA pending from an older keyframe is superseded (mbAbortBA):
+        # the new keyframe's deferred BA covers the same neighborhood
+        self._ba_pending_slot = slot if self.n_kf > 2 else None
+
+    def _dispatch_deferred_ba(self):
+        """Run the deferred local BA for the most recent keyframe
+        (fire-and-forget; the next frame's sync absorbs its latency)."""
+        slot = self._ba_pending_slot
+        self._ba_pending_slot = None
+        if slot is None:
+            return
+        # ba_step no-ops on device if the slot was culled meanwhile — no
+        # host-side validity fetch (a blocking pull costs ~26ms over the
+        # TPU tunnel)
+        self.arena = self.mapping.ba_step(self.arena, jnp.int32(slot),
+                                          max_cams=self.ba_cams)
 
     # ------------------------------------------------------------------
     # Output (System::SaveKeyFrameTrajectoryTUM, System.cpp:238-268)
