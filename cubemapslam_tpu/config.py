@@ -111,8 +111,14 @@ class SlamConfig:
     # fraction of the PEAK inlier count since the last insertion —
     # like-for-like, so invariant to detector recall and map density.
     # Two consecutive frames must be below the bar (single-frame dips are
-    # matcher noise, measured +-30% frame to frame).
-    keyframe_inlier_decay: float = 0.6
+    # matcher noise, measured +-30% frame to frame). 0.9 (insert on 10%
+    # decay) keeps the KF spacing tight enough that triangulation pairs
+    # stay descriptor-stable: at 0.6 the working-scale run spaced KFs
+    # 10-25 frames apart, raw KF-KF epipolar match yield collapsed
+    # 2952 -> 600 across that gap, landmark replenishment fell below the
+    # probation-cull rate, and tracking starved to LOST (measured,
+    # NOTES_TPU round 5).
+    keyframe_inlier_decay: float = 0.9
     # NeedNewKeyFrame's c2 compares tracked inliers against the reference
     # KF's MATURE point count (>=3 obs, Tracking.cpp:741-748). When that
     # count is below this floor, the local map is too young/thin for the

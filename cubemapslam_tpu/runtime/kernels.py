@@ -175,7 +175,7 @@ class TrackingKernels:
     @functools.partial(jax.jit, static_argnums=(0,),
                        static_argnames=("max_local",))
     def select_local_landmarks(self, arena: SM.MapArena, assoc,
-                               max_local: int = 8192):
+                               max_local: int = 8192, covis=None):
         """Local keyframes by observation voting (UpdateLocalKeyFrames,
         Tracking.cpp:881-988) then their landmarks (UpdateLocalPoints,
         855-878), compacted to a fixed-size index set."""
@@ -192,7 +192,8 @@ class TrackingKernels:
         # expansion the local map carries only the directly-shared
         # landmarks and TrackLocalMap starves (measured: 8 KFs/159 points
         # vs 25+/500+ expanded on the same frame)
-        covis = SM.covisibility_matrix(arena)
+        if covis is None:
+            covis = SM.covisibility_matrix(arena)
         votersf = (votes > 0).astype(jnp.float32)
         nb_strength = jnp.max(covis.astype(jnp.float32)
                               * votersf[:, None], axis=0)
@@ -211,17 +212,23 @@ class TrackingKernels:
         lm_local = jnp.zeros(L + 1, bool).at[
             jnp.where(in_local, obs, L)].set(True)[:-1]
         lm_local &= arena.lm_valid
-        # compact to fixed max_local indices (score: observation counts)
-        score = jnp.where(lm_local, 1.0, -1.0)
-        sel_score, sel = jax.lax.top_k(score, min(max_local, L))
+        # compact to fixed max_local indices: cumsum-rank compaction (the
+        # selection score is binary, so a full top_k sort over L=65536 —
+        # ~10 ms on TPU — buys nothing over stable index order)
+        P = min(max_local, L)
+        rank = jnp.cumsum(lm_local.astype(jnp.int32)) - 1
+        can = lm_local & (rank < P)
+        sel = jnp.full(P + 1, 0, jnp.int32).at[
+            jnp.where(can, rank, P)].set(
+            jnp.arange(L, dtype=jnp.int32))[:-1]
+        sel_ok = jnp.arange(P) < jnp.sum(can.astype(jnp.int32))
         # pKFmax: the KF sharing the most observations with this frame
         # (Tracking.cpp:930-933; becomes mpReferenceKF, Tracking.cpp:938).
         # The winning VOTE COUNT rides along so callers can keep the
         # previous reference KF when the vote map is empty (the reference
         # only reassigns if(pKFmax), Tracking.cpp:935-938).
         pkf_max = jnp.argmax(votes).astype(jnp.int32)
-        return (sel.astype(jnp.int32), sel_score > 0, local_mask, pkf_max,
-                votes[pkf_max])
+        return (sel, sel_ok, local_mask, pkf_max, votes[pkf_max])
 
     @functools.partial(jax.jit, static_argnums=0)
     def search_local_points(self, arena: SM.MapArena, kp_cur: Keypoints,
@@ -289,13 +296,27 @@ class TrackingKernels:
         return assoc, n, R, t, outlier, n_inl
 
     @functools.partial(jax.jit, static_argnums=0)
+    def graph_cache(self, arena: SM.MapArena):
+        """(covisibility, observation counts) from ONE incidence build.
+
+        The observation graph changes only at keyframe/mapping/BA/loop
+        events — never during pure frame tracking — so the host refreshes
+        this cache once per event and passes it into track_frame_full;
+        rebuilding the incidence inside every frame cost ~20 ms/frame at
+        the working scale (measured, profile_track.py)."""
+        O = SM.incidence_matrix(arena)
+        return (SM.covisibility_matrix(arena, O=O),
+                SM.observation_counts(arena, O=O))
+
+    @functools.partial(jax.jit, static_argnums=0)
     def track_local_fused(self, arena: SM.MapArena, kp_cur: Keypoints,
-                          assoc, outlier, R, t):
+                          assoc, outlier, R, t, covis=None):
         """TrackLocalMap in one program: local selection + projection
         search + pose optimization + visible/found counter updates."""
         assoc = jnp.where(outlier, SM.NO_LM, assoc)
         (sel, sel_ok, _, pkf_max,
-         pkf_votes) = self.select_local_landmarks(arena, assoc)
+         pkf_votes) = self.select_local_landmarks(arena, assoc,
+                                                  covis=covis)
         assoc, vis_add = self.search_local_points(arena, kp_cur, assoc,
                                                   sel, sel_ok, R, t)
         R, t, outlier, n_final = self.optimize_pose(arena, kp_cur, assoc,
@@ -307,7 +328,7 @@ class TrackingKernels:
     def track_frame_full(self, arena: SM.MapArena, kp_cur: Keypoints,
                          last_assoc, last_outlier, last_kp_level,
                          last_kp_angle, rel_R, rel_t, last_ref,
-                         vel_R, vel_t, vel_gain, ref_kf):
+                         vel_R, vel_t, vel_gain, ref_kf, covis, cnt):
         """The WHOLE per-frame SLAM tracking path as one device program:
         motion-model match (radius 15) -> widen to 30 if <20 matches
         (Tracking.cpp:641-648) -> reference-KF fallback if still <20
@@ -391,9 +412,13 @@ class TrackingKernels:
 
         track_ok = (n >= 15) & (n_inl >= 10)
 
+        # covis/cnt arrive as the host's cached graph views (refreshed at
+        # keyframe/mapping/BA/loop events — the only places the obs graph
+        # changes; see graph_cache)
+
         def do_local(arena):
             return self.track_local_fused(arena, kp_cur, assoc, outlier,
-                                          R, t)
+                                          R, t, covis=covis)
 
         def skip_local(arena):
             return (arena, assoc, outlier, R, t, jnp.int32(0), ref_kf,
@@ -417,7 +442,6 @@ class TrackingKernels:
         # fire every frame (a fresh KF has mostly young points),
         # degenerating into one keyframe per frame.
         live_kf = jnp.sum(arena.kf_valid.astype(jnp.int32))
-        cnt = SM.observation_counts(arena)
         row = arena.kf_obs_lm[new_ref]
         row_ok = (row >= 0) & arena.kf_kp_valid[new_ref]
         row_ok &= jnp.where(row >= 0,

@@ -76,10 +76,13 @@ class MappingKernels:
             arena.lm_visible.astype(jnp.float32), 1.0)
         age = current_kf_count - 1 - arena.lm_birth  # in keyframes (counter)
         probation = age <= 3
-        bad = arena.lm_valid & probation & (
-            (ratio < self.cfg.mp_found_ratio_th)
-            | ((age >= 2) & (cnt <= 2)))
-        return arena._replace(lm_valid=arena.lm_valid & ~bad)
+        bad_ratio = arena.lm_valid & probation & (
+            ratio < self.cfg.mp_found_ratio_th)
+        bad_obs = arena.lm_valid & probation & ((age >= 2) & (cnt <= 2))
+        bad = bad_ratio | bad_obs
+        n_bad = jnp.stack([jnp.sum(bad_ratio.astype(jnp.int32)),
+                           jnp.sum(bad_obs.astype(jnp.int32))])
+        return arena._replace(lm_valid=arena.lm_valid & ~bad), n_bad
 
     # ------------------------------------------------------------------
     # CreateNewMapPoints (LocalMapping.cpp:209-386)
@@ -152,7 +155,10 @@ class MappingKernels:
         # world coordinates
         R1, t1 = arena.kf_R[k_new], arena.kf_t[k_new]
         Xw = (X1 - t1) @ R1
-        return Xw, ok, res.idx, cos_par
+        # diagnostic: raw epipolar match count (pre-gates), for the
+        # working-scale replenishment analysis
+        n_epi = jnp.sum(res.ok.astype(jnp.int32))
+        return Xw, ok, res.idx, cos_par, n_epi
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def commit_new_landmarks_multi(self, arena: SM.MapArena, k_new, nb_idx,
@@ -473,21 +479,38 @@ class MappingKernels:
         points) — the reference's per-object incremental updates
         (KeyFrame::UpdateConnections, MapPoint::Update*) have no
         full-arena analogs in its per-KF loop either."""
-        covis = SM.covisibility_matrix(arena)
+        O = SM.incidence_matrix(arena)
+        covis = SM.covisibility_matrix(arena, O=O)
         w = covis[slot].at[slot].set(-1)
         w = jnp.where(arena.kf_valid, w, -1)
+        # Triangulation neighbors: top covisible PLUS the 3 temporally
+        # most recent keyframes, forced. The reference's top-20 covisible
+        # (LocalMapping.cpp:230) includes the temporal chain for free at
+        # its dense cadence; here, once the tracked landmark set ages, the
+        # covisibility ranking drifts to OLD keyframes whose baseline is
+        # too wide for descriptor-stable matching — measured at the
+        # Lafida scale: raw epipolar yield fell 3400 -> 700 per step and
+        # replenishment died (NOTES_TPU round 5). Recent keyframes sit at
+        # the 3-15-frame baselines where both parallax (>1.15 deg) and
+        # descriptor overlap hold.
+        recency = jnp.where((w >= 0) & arena.kf_valid,
+                            arena.kf_frame_id, -1)
+        _, recent_idx = jax.lax.top_k(recency, 3)
+        recent_ok = recency[recent_idx] >= 0
+        big = jnp.int32(1 << 24)
+        w = w.at[recent_idx].add(jnp.where(recent_ok, big, 0))
         nb_w, nb_idx = jax.lax.top_k(w, n_neighbors)
         nb_idx = nb_idx.astype(jnp.int32)
         nb_ok = nb_w > 0
 
-        cnt0 = SM.observation_counts(arena)
-        arena = self.cull_map_points(arena, kf_counter, cnt=cnt0)
+        cnt0 = SM.observation_counts(arena, O=O)
+        arena, n_cull_lm = self.cull_map_points(arena, kf_counter, cnt=cnt0)
 
         # triangulate against every neighbor IN ONE VMAPPED PROGRAM; keep
         # the widest-parallax winner per feature (committing
         # nearest-neighbor first locks features to near-zero-baseline
         # triangulations)
-        Xw_b, ok_b, idx2_b, cos_b = jax.vmap(
+        Xw_b, ok_b, idx2_b, cos_b, n_epi_b = jax.vmap(
             lambda nb: self.triangulate_with_neighbor(arena, slot, nb)
         )(nb_idx)
         ok_b &= nb_ok[:, None]
@@ -543,14 +566,17 @@ class MappingKernels:
         first_free = jnp.where(jnp.any(free), jnp.argmax(free), -1)
         # diagnostics (fire-and-forget in production — never fetched; the
         # working-scale debug driver pulls them): new triangulations, live
-        # landmark count, live obs in the new KF's row
+        # landmark count, live obs in the new KF's row, probation-cull
+        # breakdown, gated-vs-raw triangulation yield
         n_live_lm = jnp.sum(arena.lm_valid.astype(jnp.int32))
         row = arena.kf_obs_lm[slot]
         n_row = jnp.sum(((row >= 0) & arena.kf_kp_valid[slot]
                          & arena.lm_valid[jnp.maximum(row, 0)])
                         .astype(jnp.int32))
-        return arena, jnp.stack([n_culled, first_free.astype(jnp.int32),
-                                 n_new, n_live_lm, n_row])
+        return arena, jnp.stack([
+            n_culled, first_free.astype(jnp.int32), n_new, n_live_lm,
+            n_row, n_cull_lm[0], n_cull_lm[1],
+            jnp.sum(n_epi_b), jnp.sum(ok_b.astype(jnp.int32))])
 
     # ------------------------------------------------------------------
     # Deferred local BA (LocalMapping.cpp:84-90: BA runs only when the

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
+import functools
 from typing import List, Optional, Tuple
 
 import jax
@@ -85,6 +86,7 @@ class CubemapSLAM:
         self._native_warp = None      # host-side C++ warp (built with map)
         self._device_warp = None      # pallas device warp (TPU path)
         self._frontend_jit = None     # fused warp+assembly program
+        self._fused_step_jit = None   # warp+extract+track single program
         self.state = TrackState.NO_IMAGES_YET
         # n_kf is the MONOTONIC keyframe counter (mnId analog): landmark
         # ages and loop spacing use it. Arena slots are recycled: culled
@@ -118,12 +120,18 @@ class CubemapSLAM:
         # preempts it. Keyframe cadence therefore depends only on map
         # state, never on measured wall time.
         self._ba_pending_slot = None  # arena slot awaiting deferred BA
+        self._last_mapping_info = None  # mapping_step diagnostics (device)
         self._last_pose_np = None     # host copy of the frame pose
         # keyframe-cadence state (see SlamConfig.keyframe_inlier_decay):
-        # peak tracked-inlier count since the last insertion + the
-        # previous frame's count (two-frame confirmation)
+        # peak tracked-inlier count since the last insertion
         self._kf_inlier_peak = 0
-        self._prev_n_final = 0
+        # cached device-side graph views (covisibility, observation
+        # counts): the observation graph changes only at keyframe/mapping/
+        # BA/loop events, so the cache refreshes there instead of
+        # rebuilding the incidence in every frame (~20 ms/frame saved at
+        # the working scale — kernels.graph_cache)
+        self._graph_covis = None
+        self._graph_cnt = None
         # Vocabulary (ORBvoc analog): either pretrained (cfg.vocab_path, the
         # reference's VOC argument) or trained on the fly — bootstrap
         # descriptors first, re-trained once on accumulated keyframe
@@ -204,6 +212,17 @@ class CubemapSLAM:
                         f"DeviceWarp build failed ({e!r}); falling back "
                         f"to the host warp path", RuntimeWarning)
                     self._device_warp = False
+            if (self._device_warp and mask is not None
+                    and self.state == TrackState.OK
+                    and not self.localization_only
+                    and self.stage_times is None):
+                # steady-state fast path: warp + extraction + the whole
+                # fused tracking program as ONE dispatch (each extra
+                # dispatch costs a tunnel RPC; measured ~40 ms/frame of
+                # overhead between device cost and frame wall time with
+                # the 3-dispatch split)
+                return self._track_fisheye_fused(fisheye_img, timestamp,
+                                                 mask)
             if self._device_warp:
                 # warp + cross assembly as ONE dispatched program: each
                 # eager dynamic_update_slice is a separate tunnel dispatch
@@ -243,6 +262,62 @@ class CubemapSLAM:
         else:
             cube = W.warp_bilinear(jnp.asarray(fisheye_img), self.warp_map)
         return self.track_cubemap(cube, timestamp, mask)
+
+    def _build_fused_step(self):
+        """One jitted program for the whole steady-state frame: device
+        warp + cross assembly + ORB extraction + track_frame_full."""
+        from cubemapslam_tpu.warp_tpu import FACE_CELLS, warp_faces_device
+        dw = self._device_warp
+        fh, fw = self.cfg.cube_face_h, self.cfg.cube_face_w
+        ch, cw = self.cfg.cube_h, self.cfg.cube_w
+        extract = self.extract
+        track = self.kernels.track_frame_full
+
+        @functools.partial(jax.jit, donate_argnums=3)
+        def step(warp_args, img, mask, arena, last_assoc, last_outlier,
+                 last_level, last_angle, rel_R, rel_t, last_ref,
+                 vel_R, vel_t, gain, ref_kf, covis, cnt):
+            faces = warp_faces_device(dw.plan, warp_args, img)
+            cube = jnp.zeros((ch, cw), jnp.float32)
+            for i, (cx, cy) in enumerate(FACE_CELLS):
+                cube = jax.lax.dynamic_update_slice(
+                    cube, faces[i], (cy * fh, cx * fw))
+            kp = extract(cube, mask)
+            out = track(arena, kp, last_assoc, last_outlier, last_level,
+                        last_angle, rel_R, rel_t, last_ref, vel_R, vel_t,
+                        gain, ref_kf, covis, cnt)
+            return (kp,) + tuple(out)
+
+        return step
+
+    def _track_fisheye_fused(self, fisheye_img, timestamp: float, mask):
+        """Steady-state fast path (see track_fisheye)."""
+        if self._fused_step_jit is None:
+            self._fused_step_jit = self._build_fused_step()
+        self.total_frames += 1
+        fid = self.frame_id
+        self.frame_id += 1
+        vel_R, vel_t, gain = self._velocity_args()
+        if self._graph_covis is None:
+            self._refresh_graph_cache()
+        out = self._fused_step_jit(
+            self._device_warp.args, jnp.asarray(fisheye_img),
+            jnp.asarray(mask), self.arena, self.last.assoc,
+            self.last.outlier, self.last.kp.level, self.last.kp.angle,
+            self.last.rel_R, self.last.rel_t, jnp.int32(self.last.ref_kf),
+            vel_R, vel_t, gain, jnp.int32(self.ref_kf),
+            self._graph_covis, self._graph_cnt)
+        kp = out[0]
+        self._consume_track_outputs(kp, out[1:], fid, timestamp)
+        if self.state == TrackState.OK:
+            self.tracked_frames += 1
+            Rn, tn = self._last_pose_np
+            self.trajectory.append((timestamp, Rn, tn))
+            T = np.eye(4, dtype=np.float64)
+            T[:3, :3] = Rn
+            T[:3, 3] = tn
+            return T
+        return None
 
     def track_cubemap(self, cube_img, timestamp: float,
                       mask: Optional[np.ndarray] = None):
@@ -385,6 +460,7 @@ class CubemapSLAM:
         self.last_kf_frame_id = fid
         self.velocity = None
         self.state = TrackState.OK
+        self._refresh_graph_cache()
         # train the vocabulary on the bootstrap descriptors (the reference
         # loads a pretrained ORBvoc.txt; ours is domain-trained on the fly
         # at the configured k/depth, then re-trained once more data exists)
@@ -461,24 +537,34 @@ class CubemapSLAM:
             R_pred, t_pred = R_last, t_last
         return R_last, t_last, R_pred, t_pred
 
+    def _velocity_args(self):
+        if self.velocity is not None:
+            return (*self.velocity,
+                    jnp.float32(self.cfg.motion_model_damping))
+        return jnp.eye(3), jnp.zeros(3), jnp.float32(0.0)
+
     def _track_frame_slam(self, kp, fid, ts):
         k = self.kernels
         # the motion model + last-pose re-anchoring run ON DEVICE inside
         # track_frame_full — eager per-frame 3x3 algebra here would cost
         # one tunnel dispatch per op
-        if self.velocity is not None:
-            vel_R, vel_t = self.velocity
-            gain = jnp.float32(self.cfg.motion_model_damping)
-        else:
-            vel_R, vel_t = jnp.eye(3), jnp.zeros(3)
-            gain = jnp.float32(0.0)
-        (self.arena, assoc, outlier, R, t, packed,
-         vel_R, vel_t, rel_R, rel_t) = k.track_frame_full(
+        vel_R, vel_t, gain = self._velocity_args()
+        if self._graph_covis is None:
+            self._refresh_graph_cache()
+        out = k.track_frame_full(
             self.arena, kp, self.last.assoc, self.last.outlier,
             self.last.kp.level, self.last.kp.angle,
             self.last.rel_R, self.last.rel_t,
             jnp.int32(self.last.ref_kf), vel_R, vel_t, gain,
-            jnp.int32(self.ref_kf))
+            jnp.int32(self.ref_kf), self._graph_covis, self._graph_cnt)
+        self._consume_track_outputs(kp, out, fid, ts)
+
+    def _consume_track_outputs(self, kp, out, fid, ts):
+        """Host-side epilogue of the fused tracking program: the single
+        packed fetch, state transitions, cadence, KF creation/deferred
+        BA."""
+        (self.arena, assoc, outlier, R, t, packed,
+         vel_R, vel_t, rel_R, rel_t) = out
         if hasattr(packed, "copy_to_host_async"):
             packed.copy_to_host_async()
         pk = np.asarray(packed)
@@ -514,7 +600,6 @@ class CubemapSLAM:
             # (LocalMapping.cpp:84-90 — BA only when no new KF is waiting)
             self._dispatch_deferred_ba()
             self._stage("local_ba", self.arena.kf_valid)
-        self._prev_n_final = n_final
 
     def _track_frame_localization(self, kp, fid, ts):
         k = self.kernels
@@ -583,9 +668,12 @@ class CubemapSLAM:
             return
 
         # local-map tracking (TrackLocalMap, Tracking.cpp:679-719)
+        if self._graph_covis is None:
+            self._refresh_graph_cache()
         (self.arena, assoc, outlier, R, t, n_final,
-         pkf_max, pkf_votes) = k.track_local_fused(self.arena, kp, assoc,
-                                                   outlier, R, t)
+         pkf_max, pkf_votes) = k.track_local_fused(
+            self.arena, kp, assoc, outlier, R, t,
+            covis=self._graph_covis)
         n_final_i = int(n_final)
         if n_final_i < self.cfg.min_track_inliers:
             self._set_lost(kp, fid, ts)
@@ -628,7 +716,8 @@ class CubemapSLAM:
         self.mb_vo = False
         self._ba_pending_slot = None
         self._kf_inlier_peak = 0
-        self._prev_n_final = 0
+        self._graph_covis = None
+        self._graph_cnt = None
         self.loop_closer.reset()
 
     def _update_bow(self, slot: int, kp):
@@ -674,7 +763,9 @@ class CubemapSLAM:
         k = self.kernels
         n_cand = 5
         qbow = PL.bow_vector(self.vocab, kp.desc, kp.valid)
-        covis = SM.covisibility_matrix(self.arena)
+        if self._graph_covis is None:
+            self._refresh_graph_cache()
+        covis = self._graph_covis
         cand_idx, cand_ok = PL.detect_candidates(
             qbow, self.bow_table, self.arena.kf_valid,
             jnp.zeros(self.arena.n_kf_cap, bool), covis, jnp.float32(0.0))
@@ -701,7 +792,6 @@ class CubemapSLAM:
             self.state = TrackState.OK
             self.mb_vo = False
             self._kf_inlier_peak = 0
-            self._prev_n_final = 0
             return True
         return False
 
@@ -728,16 +818,20 @@ class CubemapSLAM:
             return False
         c1a = frames_since >= self.cfg.fps  # mMaxFrames = fps
         # c2 redesigned (see SlamConfig.keyframe_inlier_decay): insert
-        # when tracking DECAYS — two consecutive frames below
-        # decay * peak-since-last-insertion — or when the local map is too
-        # young/thin for coverage to mean anything (the mature reference
-        # count below the floor is itself insertion urgency: a starving
-        # fast-motion run loses tracking within frames of a refusal,
-        # NOTES_TPU round 4).
+        # when tracking DECAYS below decay * peak-since-last-insertion
+        # (single-frame trigger: under fast motion inliers can halve per
+        # frame, and a confirmation lag of even one frame loses tracking
+        # before the insertion lands — measured on the fast-motion e2e),
+        # when tracking is absolutely WEAK (within 2x of the loss
+        # threshold — the map is about to die regardless of ratios), or
+        # when the local map is too young/thin for coverage to mean
+        # anything (mature reference count below the floor).
         bar = self.cfg.keyframe_inlier_decay * self._kf_inlier_peak
-        c2_decay = max(n_inliers, self._prev_n_final) < bar
+        c2_decay = n_inliers < bar
+        c2_weak = n_inliers < 2 * self.cfg.min_track_inliers
         c2_young = n_ref < self.cfg.keyframe_mature_floor
-        want = bool((c1a or c2_decay or c2_young) and n_inliers > 15)
+        want = bool((c1a or c2_decay or c2_weak or c2_young)
+                    and n_inliers > 15)
         if want and first_free < 0:
             # arena truly full (even culling freed nothing): refuse loudly
             self.arena_full_refusals += 1
@@ -763,7 +857,6 @@ class CubemapSLAM:
         # cadence baseline re-establishes from the enriched post-mapping
         # map (the first post-insertion frames set the new peak)
         self._kf_inlier_peak = 0
-        self._prev_n_final = 0
         self._update_bow(slot, kp)
         # the frame that spawned this KF is re-anchored to it exactly
         self.last.ref_kf = slot
@@ -782,6 +875,8 @@ class CubemapSLAM:
         # frame's motion matcher queries stale landmark ids and starves.
         self.last.assoc = self.arena.kf_obs_lm[slot]
         self.last.outlier = jnp.zeros_like(self.last.outlier)
+        # mapping/loop closing rewired the observation graph
+        self._refresh_graph_cache()
 
     # ------------------------------------------------------------------
     # Local mapping pipeline (LocalMapping::Run body per KF)
@@ -806,6 +901,12 @@ class CubemapSLAM:
         # the new keyframe's deferred BA covers the same neighborhood
         self._ba_pending_slot = slot if self.n_kf > 2 else None
 
+    def _refresh_graph_cache(self):
+        """Recompute the cached covisibility/observation-count views
+        (fire-and-forget device dispatch)."""
+        self._graph_covis, self._graph_cnt = self.kernels.graph_cache(
+            self.arena)
+
     def _dispatch_deferred_ba(self):
         """Run the deferred local BA for the most recent keyframe
         (fire-and-forget; the next frame's sync absorbs its latency)."""
@@ -818,6 +919,8 @@ class CubemapSLAM:
         # TPU tunnel)
         self.arena = self.mapping.ba_step(self.arena, jnp.int32(slot),
                                           max_cams=self.ba_cams)
+        # BA removes outlier observations — refresh the graph views
+        self._refresh_graph_cache()
 
     # ------------------------------------------------------------------
     # Output (System::SaveKeyFrameTrajectoryTUM, System.cpp:238-268)

@@ -137,31 +137,43 @@ def reference_keyframes(arena: MapArena, seg, live, kf_idx) -> jnp.ndarray:
     return jnp.where(best < big, best % K, K)
 
 
-def observation_counts(arena: MapArena) -> jnp.ndarray:
-    """(L,) number of keyframe observations per landmark
-    (MapPoint::Observations)."""
-    seg, live = _flat_obs(arena)
-    cnt = jnp.zeros(arena.n_lm_cap + 1, jnp.int32).at[seg].add(
-        live.astype(jnp.int32))
-    return cnt[:-1]
+def incidence_matrix(arena: MapArena) -> jnp.ndarray:
+    """(K, L) {0,1} bf16 keyframe-landmark incidence (live observations).
 
-
-def covisibility_matrix(arena: MapArena) -> jnp.ndarray:
-    """(K,K) shared-landmark counts (KeyFrame::UpdateConnections weights,
-    KeyFrame.cpp:315-404) as one incidence matmul; diagonal zeroed."""
+    THE shared intermediate of the per-frame/per-KF graph quantities:
+    covisibility = O Oᵀ (one MXU matmul) and observation counts = column
+    sum (one reduction). Building O is the expensive part (a per-row
+    scatter; ~measured 20 ms at K=512/L=65536 when done twice per frame
+    as separate covis + counts passes), so callers build it ONCE and
+    derive everything from it. bf16 entries are exactly representable
+    ({0,1}) and halve the HBM traffic; products/sums accumulate in f32,
+    so all derived counts are bitwise exact."""
     K, L = arena.n_kf_cap, arena.n_lm_cap
     seg, live = _flat_obs(arena)
-    # bf16 incidence: entries are exactly 0/1 (representable), products
-    # accumulate in f32 — halves the HBM traffic of the (K, L) operand
-    # and doubles MXU throughput with bitwise-identical counts. The
-    # incidence is scattered PER KEYFRAME ROW (vmap): each batch writes a
-    # VMEM-resident (L+1,) plane — a flat (K, L+1) coordinate scatter of
-    # the same K*N updates is ~25 ms on TPU, the batched form sub-ms
-    # (scatter cost tracks the scattered-into buffer size).
+    # scattered PER KEYFRAME ROW (vmap): each batch writes a VMEM-resident
+    # (L+1,) plane — a flat (K, L+1) coordinate scatter of the same K*N
+    # updates is ~25 ms on TPU (scatter cost tracks the target size)
     O = jax.vmap(lambda s, lv: jnp.zeros(L + 1, jnp.bfloat16).at[s].max(
         lv.astype(jnp.bfloat16)))(
         seg.reshape(K, arena.n_feat), live.reshape(K, arena.n_feat))
-    O = O[:, :-1]
+    return O[:, :-1]
+
+
+def observation_counts(arena: MapArena, O=None) -> jnp.ndarray:
+    """(L,) number of keyframe observations per landmark
+    (MapPoint::Observations). Pass a precomputed incidence O to avoid
+    rebuilding it (counts are its exact column sums)."""
+    if O is None:
+        O = incidence_matrix(arena)
+    return jnp.sum(O.astype(jnp.float32), axis=0).astype(jnp.int32)
+
+
+def covisibility_matrix(arena: MapArena, O=None) -> jnp.ndarray:
+    """(K,K) shared-landmark counts (KeyFrame::UpdateConnections weights,
+    KeyFrame.cpp:315-404) as one incidence matmul; diagonal zeroed."""
+    K = arena.n_kf_cap
+    if O is None:
+        O = incidence_matrix(arena)
     W = jax.lax.dot_general(O, O, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
     W = W * (1.0 - jnp.eye(K))

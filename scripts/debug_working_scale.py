@@ -65,7 +65,7 @@ def main():
                 f"inl={m.get('inliers', 0):4d} mm={m.get('inliers_mm', 0):4d} "
                 f"match={m.get('matches', 0):4d} nref={m.get('n_ref', 0):4d} "
                 f"peak={slam._kf_inlier_peak:4d}")
-        if slam.n_kf > n_kf_before:
+        if slam.n_kf > n_kf_before and slam._last_mapping_info is not None:
             info = np.asarray(slam._last_mapping_info)
             # breakdown of the NEW keyframe's obs row + age of landmarks
             # the frame is tracking
@@ -76,6 +76,8 @@ def main():
             line += (f" | KF@slot{slam.ref_kf}: culled={info[0]} "
                      f"tri_new={info[2]} live_lm={info[3]} "
                      f"row_obs={info[4]} "
+                     f"cull_ratio={info[5]} cull_obs={info[6]} "
+                     f"epi_raw={info[7]} tri_gated={info[8]} "
                      f"row_birth_med={np.median(births) if len(births) else -1:.0f}")
             last_kf = k
         # every 10 frames: age distribution of the TRACKED landmarks
