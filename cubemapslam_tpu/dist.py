@@ -16,7 +16,7 @@ sparse in practice; correctness does not depend on the clustering.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -56,13 +56,33 @@ def partition_edges_by_camera(obs_cam: np.ndarray,
     return [np.where(edge_shard == s)[0] for s in range(n_shards)]
 
 
+class ShardedBA(NamedTuple):
+    """A keyframe-block-sharded BA problem with LANDMARK OWNERSHIP
+    (SURVEY §7 step 10): each point is owned by the block observing it
+    most; points observed by >=2 blocks ("boundary") are permuted to the
+    front of the point table so the SPMD solver exchanges ONLY their
+    accumulators per CG iteration (optim.ba._psum_pts)."""
+
+    prob: BAProblem
+    edge_perm: np.ndarray     # (E_sharded,) -> original edge idx (-1 pad)
+    point_perm: np.ndarray    # (P,) new position -> original point idx
+    owner_shard: jnp.ndarray  # (P,) int32 owning shard (new order; -1 none)
+    n_boundary: int           # boundary-prefix length (static)
+
+
 def shard_ba_problem(prob: BAProblem, n_shards: int,
-                     return_perm: bool = False):
+                     return_perm: bool = False,
+                     shard_points: bool = False):
     """Reorder + pad the edge arrays into ``n_shards`` equal keyframe blocks
     (each keyframe's edges contiguous on one shard; shards padded to the
     largest block with masked-out edges). With return_perm, also returns
     perm (E_sharded,) int64 mapping layout position -> original edge index
-    (-1 for padding), for scattering per-edge results back."""
+    (-1 for padding), for scattering per-edge results back.
+
+    shard_points=True additionally assigns LANDMARK OWNERSHIP by majority
+    observer block and permutes boundary points (observed by >=2 blocks)
+    to the front of the point table, returning a ShardedBA — the input of
+    the boundary-exchange distributed solver."""
     blocks = partition_edges_by_camera(prob.obs_cam, n_shards)
     S = max(len(b) for b in blocks)
     perm = np.full(n_shards * S, -1, np.int64)
@@ -83,41 +103,100 @@ def shard_ba_problem(prob: BAProblem, n_shards: int,
         obs_uv=layout(prob.obs_uv),
         obs_inv_sigma2=layout(prob.obs_inv_sigma2),
         obs_valid=layout(prob.obs_valid, fill=False))
-    if return_perm:
-        return sharded, perm
-    return sharded
+    if not shard_points:
+        if return_perm:
+            return sharded, perm
+        return sharded
+
+    # ---- landmark ownership + boundary-first point permutation ----
+    P = int(np.asarray(prob.X).shape[0])
+    obs_pt = np.asarray(prob.obs_pt)
+    obs_ok = np.asarray(prob.obs_valid)
+    # per (shard, point) live-observation counts
+    cnt = np.zeros((n_shards, P), np.int32)
+    for s, b in enumerate(blocks):
+        ok = b[obs_ok[b]]
+        np.add.at(cnt[s], obs_pt[ok], 1)
+    touched = cnt > 0
+    n_touch = touched.sum(axis=0)                       # (P,)
+    owner = np.where(n_touch > 0, np.argmax(cnt, axis=0), -1).astype(
+        np.int32)
+    is_boundary = n_touch >= 2
+    # stable permutation: boundary first, then the rest
+    point_perm = np.concatenate([np.where(is_boundary)[0],
+                                 np.where(~is_boundary)[0]]).astype(
+        np.int64)
+    n_boundary = int(is_boundary.sum())
+    inv = np.empty(P, np.int64)
+    inv[point_perm] = np.arange(P)
+    X_new = np.asarray(prob.X)[point_perm]
+    ptv_new = np.asarray(prob.pt_valid)[point_perm]
+    owner_new = owner[point_perm]
+    obs_pt_new = jnp.asarray(
+        inv[np.asarray(sharded.obs_pt)].astype(np.int32))
+    sharded = sharded._replace(X=jnp.asarray(X_new),
+                               pt_valid=jnp.asarray(ptv_new),
+                               obs_pt=obs_pt_new)
+    return ShardedBA(prob=sharded, edge_perm=perm,
+                     point_perm=point_perm,
+                     owner_shard=jnp.asarray(owner_new),
+                     n_boundary=n_boundary)
 
 
-def distributed_bundle_adjust(cam: CubemapCamera, prob: BAProblem,
-                              mesh: Mesh,
+def distributed_bundle_adjust(cam: CubemapCamera, prob, mesh: Mesh,
                               phase_iters: Tuple[int, ...] = (5, 10),
                               cg_iters: int = 30):
     """Run bundle_adjust as one SPMD program over the mesh.
 
-    ``prob`` must have edge arrays divisible by the mesh size (use
-    shard_ba_problem). Returns (updated problem, edge inliers in the
-    sharded order).
+    ``prob`` is either a plain BAProblem with edge arrays divisible by
+    the mesh size (fully-replicated tables, full psums — use
+    shard_ba_problem), or a ShardedBA (landmark ownership + boundary-only
+    point exchange; each shard maintains authoritative state for its OWN
+    points and the final point table is recombined by owner in one psum).
+    Returns (updated problem, edge inliers in the sharded order).
     """
     n = mesh.devices.size
+    meta = prob if isinstance(prob, ShardedBA) else None
+    if meta is not None:
+        prob = meta.prob
     assert prob.obs_cam.shape[0] % n == 0
 
     rep = P()
     shd = P(AXIS)
-    in_specs = BAProblem(
+    prob_specs = BAProblem(
         R=rep, t=rep, cam_fixed=rep, cam_valid=rep, X=rep, pt_valid=rep,
         obs_cam=shd, obs_pt=shd, obs_face=shd, obs_uv=shd,
         obs_inv_sigma2=shd, obs_valid=shd)
-    out_specs = (in_specs, shd)
+    out_specs = (prob_specs, shd)
+    n_boundary = meta.n_boundary if meta is not None else None
+
+    if meta is None:
+        @functools.partial(
+            jax.shard_map, mesh=mesh, in_specs=(prob_specs,),
+            out_specs=out_specs, check_vma=False)
+        def run(p):
+            return bundle_adjust(cam, p, phase_iters=phase_iters,
+                                 cg_iters=cg_iters, axis_name=AXIS)
+
+        return jax.jit(run)(prob)
 
     @functools.partial(
-        jax.shard_map, mesh=mesh, in_specs=(in_specs,),
+        jax.shard_map, mesh=mesh, in_specs=(prob_specs, rep),
         out_specs=out_specs, check_vma=False)
-    def run(p):
+    def run_owned(p, owner_shard):
         out, inl = bundle_adjust(cam, p, phase_iters=phase_iters,
-                                 cg_iters=cg_iters, axis_name=AXIS)
-        return out, inl
+                                 cg_iters=cg_iters, axis_name=AXIS,
+                                 n_boundary=n_boundary)
+        # recombine the point table by owner: interior entries are only
+        # authoritative on their owning shard (one O(P) exchange at the
+        # END instead of per CG iteration)
+        mine = owner_shard == jax.lax.axis_index(AXIS)
+        X_full = jax.lax.psum(
+            jnp.where(mine[:, None], out.X, 0.0), AXIS)
+        X_full = jnp.where((owner_shard >= 0)[:, None], X_full, out.X)
+        return out._replace(X=X_full), inl
 
-    return jax.jit(run)(prob)
+    return jax.jit(run_owned)(prob, meta.owner_shard)
 
 
 def global_ba_problem_from_arena(cam: CubemapCamera, arena: SM.MapArena,
@@ -213,8 +292,8 @@ def dryrun(n_devices: int) -> None:
     arena = make_synthetic_arena(cfg, cam, n_kf=10, n_pts=96)
     inv_s2 = 1.0 / jnp.asarray(cfg.level_sigma2, jnp.float32)
     prob = global_ba_problem_from_arena(cam, arena, inv_s2)
-    prob = shard_ba_problem(prob, n_devices)
-    out, inl = distributed_bundle_adjust(cam, prob, mesh,
+    sharded = shard_ba_problem(prob, n_devices, shard_points=True)
+    out, inl = distributed_bundle_adjust(cam, sharded, mesh,
                                          phase_iters=(2, 2), cg_iters=8)
     jax.block_until_ready(out.R)
     assert np.isfinite(np.asarray(out.R)).all()

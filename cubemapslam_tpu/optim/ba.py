@@ -54,6 +54,26 @@ def _psum(x, axis_name):
     return x if axis_name is None else jax.lax.psum(x, axis_name)
 
 
+def _psum_pts(x, axis_name, n_boundary):
+    """Point-table reduction with BOUNDARY-ONLY exchange.
+
+    With landmark ownership by keyframe block (dist.shard_ba_problem
+    shard_points=True), a point observed by a single shard has ALL its
+    edges on that shard: its accumulator rows are complete locally and
+    zero everywhere else, so only the [0, n_boundary) prefix — points
+    observed from >=2 blocks, permuted to the front — needs the psum.
+    Interior rows stay local (they are garbage on non-owner shards, which
+    never read them: a shard's gathers only touch points its own edges
+    observe). Cuts the per-CG-iteration exchange from O(P) to
+    O(boundary) — the SURVEY §7 step 10 design."""
+    if axis_name is None or n_boundary is None:
+        return _psum(x, axis_name)
+    if n_boundary <= 0:
+        return x
+    return jnp.concatenate(
+        [jax.lax.psum(x[:n_boundary], axis_name), x[n_boundary:]], axis=0)
+
+
 def _edge_terms(cam, prob: BAProblem, w: jnp.ndarray):
     """Residuals + weighted normal-equation blocks for all edges."""
     Rc = prob.R[prob.obs_cam]
@@ -407,7 +427,7 @@ def _bundle_adjust_direct(cam, prob: BAProblem, phase_iters, chi2_cut,
 
 
 def _lm_step(cam, prob: BAProblem, active, robust, lm_lambda,
-             cg_iters: int, axis_name=None):
+             cg_iters: int, axis_name=None, n_boundary=None):
     """One damped GN step via Schur + matrix-free CG. Returns candidate
     (R, t, X).
 
@@ -426,9 +446,11 @@ def _lm_step(cam, prob: BAProblem, active, robust, lm_lambda,
 
     Hcc = _psum(jnp.zeros((M, 6, 6)).at[prob.obs_cam].add(Hcc_e),
                 axis_name)
-    Hpp = _psum(jnp.zeros((P, 3, 3)).at[prob.obs_pt].add(Hpp_e), axis_name)
+    Hpp = _psum_pts(jnp.zeros((P, 3, 3)).at[prob.obs_pt].add(Hpp_e),
+                    axis_name, n_boundary)
     bc = _psum(jnp.zeros((M, 6)).at[prob.obs_cam].add(bc_e), axis_name)
-    bp = _psum(jnp.zeros((P, 3)).at[prob.obs_pt].add(bp_e), axis_name)
+    bp = _psum_pts(jnp.zeros((P, 3)).at[prob.obs_pt].add(bp_e),
+                   axis_name, n_boundary)
 
     # damping (LM): scale diagonals; regularize empty blocks
     eyeP = jnp.eye(3)
@@ -450,7 +472,8 @@ def _lm_step(cam, prob: BAProblem, active, robust, lm_lambda,
         hx = (Hcc_d @ x[..., None])[..., 0]            # (M,6)
         v = (W_e.transpose(0, 2, 1)
              @ x[prob.obs_cam][..., None])[..., 0]     # (E,3)
-        s = _psum(jnp.zeros((P, 3)).at[prob.obs_pt].add(v), axis_name)
+        s = _psum_pts(jnp.zeros((P, 3)).at[prob.obs_pt].add(v),
+                      axis_name, n_boundary)
         y = (Hpp_inv @ s[..., None])[..., 0]           # (P,3)
         z = (W_e @ y[prob.obs_pt][..., None])[..., 0]  # (E,6)
         coup = _psum(jnp.zeros((M, 6)).at[prob.obs_cam].add(z), axis_name)
@@ -488,7 +511,8 @@ def _lm_step(cam, prob: BAProblem, active, robust, lm_lambda,
 
     # back-substitute point updates
     v = (W_e.transpose(0, 2, 1) @ dc[prob.obs_cam][..., None])[..., 0]
-    s = _psum(jnp.zeros((P, 3)).at[prob.obs_pt].add(v), axis_name)
+    s = _psum_pts(jnp.zeros((P, 3)).at[prob.obs_pt].add(v),
+                  axis_name, n_boundary)
     dp = (Hpp_inv @ (bp - s)[..., None])[..., 0]
     dp = jnp.where(prob.pt_valid[:, None], dp, 0.0)
 
@@ -549,13 +573,16 @@ def bundle_adjust(cam: CubemapCamera, prob: BAProblem,
                   axis_name=None,
                   solver: str = "cg",
                   max_obs_per_cam: int = 1024,
-                  n_free: int = None
+                  n_free: int = None,
+                  n_boundary: int = None
                   ) -> Tuple[BAProblem, jnp.ndarray]:
     """Two-phase LM BA (LocalBundleAdjustment schedule, Optimizer.cpp:341-398:
     5 robust iters, chi2 outlier cut, 10 non-robust iters, final cut).
 
     solver="cg" is the matrix-free Schur-CG path (O(E) memory, shardable
-    with ``axis_name`` for the distributed global BA); solver="direct" is
+    with ``axis_name`` for the distributed global BA; with ``n_boundary``
+    the point-table exchanges reduce to the boundary prefix only — see
+    _psum_pts and dist.shard_ba_problem(shard_points=True)); solver="direct" is
     the dense-Schur Cholesky path for COMPACT local problems (single
     device only — see _lm_step_direct; requires row-major (M, N) edges
     with obs_cam == repeat(arange(M), N)). max_obs_per_cam caps each
@@ -579,7 +606,8 @@ def bundle_adjust(cam: CubemapCamera, prob: BAProblem,
             chi2 = _chi2(cam, prob)
             cost = _psum(_robust_cost(chi2, active, robust), axis_name)
             R_n, t_n, X_n = _lm_step(cam, prob, active, robust,
-                                     lm_lambda, cg_iters, axis_name)
+                                     lm_lambda, cg_iters, axis_name,
+                                     n_boundary)
             cand = prob._replace(R=R_n, t=t_n, X=X_n)
             cost_n = _psum(_robust_cost(_chi2(cam, cand), active, robust),
                            axis_name)

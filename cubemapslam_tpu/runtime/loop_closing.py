@@ -642,17 +642,21 @@ class LoopCloser:
         K, N = system.arena.n_kf_cap, system.arena.n_feat
         devs = jax.devices()
         if len(devs) > 1:
-            prob_s, perm = shard_ba_problem(prob, len(devs),
-                                            return_perm=True)
-            out, inl_s = distributed_bundle_adjust(
-                self.cam, prob_s, make_mesh(devs), phase_iters=(10,),
+            sharded = shard_ba_problem(prob, len(devs), shard_points=True)
+            out_s, inl_s = distributed_bundle_adjust(
+                self.cam, sharded, make_mesh(devs), phase_iters=(10,),
                 cg_iters=30)
-            # scatter sharded-order inliers back to (K,N) edge order
+            # scatter sharded-order inliers back to (K,N) edge order and
+            # un-permute the point table (boundary-first ordering)
             inl_np = np.asarray(inl_s)
             inl = np.zeros(K * N, bool)
+            perm = sharded.edge_perm
             real = perm >= 0
             inl[perm[real]] = inl_np[real]
             inl = jnp.asarray(inl)
+            X_orig = jnp.zeros_like(out_s.X).at[
+                jnp.asarray(sharded.point_perm)].set(out_s.X)
+            out = out_s._replace(X=X_orig)
         else:
             out, inl = bundle_adjust(self.cam, prob, phase_iters=(10,),
                                      cg_iters=30)

@@ -34,7 +34,7 @@ def main():
     from cubemapslam_tpu.warp import fov_mask
 
     n_frames = int(os.environ.get("N_FRAMES", 140))
-    decay = float(os.environ.get("DECAY", 0.6))
+    decay = float(os.environ.get("DECAY", 0.9))  # config default
     step = float(os.environ.get("STEP", 0.02))
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     voc = os.path.join(repo, "artifacts", "vocab_synth_10k.npz")

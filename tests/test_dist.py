@@ -72,6 +72,39 @@ class TestDistributedBA:
     def test_dryrun_hook(self):
         D.dryrun(4)
 
+    def test_sharded_points_matches_single_device(self, lafida_cam, rng):
+        """Landmark-ownership sharding (boundary-only point exchange,
+        SURVEY §7 step 10) must produce the same solution as the
+        replicated-table solve."""
+        prob, pts_gt = build_problem(rng, lafida_cam)
+        sharded = D.shard_ba_problem(prob, 8, shard_points=True)
+        assert 0 < sharded.n_boundary <= prob.X.shape[0]
+        # ownership is well-formed: every observed point has an owner,
+        # interior points' edges all live on the owner's shard
+        owner = np.asarray(sharded.owner_shard)
+        obs_pt = np.asarray(sharded.prob.obs_pt)
+        obs_ok = np.asarray(sharded.prob.obs_valid)
+        E = obs_pt.shape[0]
+        shard_of_edge = np.repeat(np.arange(8), E // 8)
+        for p in np.unique(obs_pt[obs_ok]):
+            shards = np.unique(shard_of_edge[obs_ok & (obs_pt == p)])
+            if p >= sharded.n_boundary:          # interior
+                assert len(shards) == 1 and shards[0] == owner[p]
+        ref, ref_inl = bundle_adjust(lafida_cam, sharded.prob,
+                                     cg_iters=20)
+        mesh = D.make_mesh(jax.devices()[:8])
+        out, inl = D.distributed_bundle_adjust(lafida_cam, sharded, mesh,
+                                               cg_iters=20)
+        np.testing.assert_allclose(np.asarray(out.R), np.asarray(ref.R),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(out.X), np.asarray(ref.X),
+                                   atol=1e-3)
+        np.testing.assert_array_equal(np.asarray(inl),
+                                      np.asarray(ref_inl))
+        err = np.linalg.norm(np.asarray(out.X)[
+            np.argsort(sharded.point_perm)] - pts_gt, axis=1)
+        assert np.median(err) < 0.02
+
     def test_partition_honors_keyframe_blocks(self, rng):
         obs_cam = rng.integers(0, 17, 4000).astype(np.int32)
         n_shards = 4
