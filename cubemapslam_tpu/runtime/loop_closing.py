@@ -498,6 +498,17 @@ class LoopCloser:
         self.consistent_groups: List[Tuple[Set[int], int]] = []
         self.last_loop_counter = -100  # keyframe COUNTER at the last loop
         self.loop_edges: List[Tuple[int, int]] = []
+        # phase wall times (seconds), appended per event — the
+        # working-scale loop-closure timing artifact (SURVEY §5 tracing):
+        # detect / sim3 (match+RANSAC+refine+Scw) / correct (fuse + pose
+        # graph + SearchAndFuse + stats) / gba
+        self.timings: dict = {}
+
+    def _lap(self, name, t0):
+        import time as _t
+        now = _t.perf_counter()
+        self.timings.setdefault(name, []).append(now - t0)
+        return now
 
     def reset(self):
         self.consistent_groups = []
@@ -514,9 +525,17 @@ class LoopCloser:
             return False
         # detection phase on device, one fetch (exclusion set, minScore,
         # candidate selection, candidate covisibility groups)
+        import time as _t
+        t0 = _t.perf_counter()
         cand_idx_d, cand_ok_d, groups_d = self.k.detect_candidates_fused(
             arena, system.bow_table, jnp.int32(slot))
         cand_ok = np.asarray(cand_ok_d)
+        t0 = self._lap("detect", t0)
+        import os as _os
+        if _os.environ.get("CUBEMAP_LOOP_DEBUG"):
+            print(f"#loop kf={system.n_kf} slot={slot} "
+                  f"cands={int(cand_ok.sum())} "
+                  f"groups={len(self.consistent_groups)}", flush=True)
         if not cand_ok.any():
             self.consistent_groups = []
             return False
@@ -538,6 +557,10 @@ class LoopCloser:
             if not matched:
                 new_groups.append((group, 0))
         self.consistent_groups = new_groups
+        import os as _os
+        if _os.environ.get("CUBEMAP_LOOP_DEBUG") and cand_ok.any():
+            print(f"#loop   consistent={len(new_groups)} enough={enough}",
+                  flush=True)
         if not enough:
             return False
         # ComputeSim3 against consistent candidates (cpp:230-399)
@@ -549,10 +572,17 @@ class LoopCloser:
         return False
 
     def _try_close(self, system, k_cur: int, k_loop: int) -> bool:
+        import time as _t
+        t0 = _t.perf_counter()
         arena = system.arena
         idx2, ok = self.k.match_kf_pair(arena, jnp.int32(k_cur),
                                         jnp.int32(k_loop))
         n_matches = int(jnp.sum(ok))
+        import os as _os
+        dbg = _os.environ.get("CUBEMAP_LOOP_DEBUG")
+        if dbg:
+            print(f"#try {k_cur}<->{k_loop}: kfkf_matches={n_matches}",
+                  flush=True)
         if n_matches < 20:
             return False
         p1, p2, uv1, uv2, s1, s2 = self.k.sim3_candidates(
@@ -561,6 +591,8 @@ class LoopCloser:
         res = sim3_ransac(self.cam, sub, p1, p2, uv1, uv2, s1, s2, ok,
                           n_iters=self.cfg.sim3_ransac_iters,
                           fix_scale=False, min_inliers=20)
+        if dbg:
+            print(f"#try   sim3 success={bool(res.success)}", flush=True)
         if not bool(res.success):
             return False
         # widen the match set with the RANSAC Sim3 before refinement
@@ -571,6 +603,8 @@ class LoopCloser:
         s, R, t, inl, n_inl = self.k.refine_sim3(
             arena, jnp.int32(k_cur), jnp.int32(k_loop), idx2,
             ok_wide, res.s12, res.R12, res.t12)
+        if dbg:
+            print(f"#try   refine n_inl={int(n_inl)}", flush=True)
         if int(n_inl) < 20:
             return False
         # Scw-projection acceptance: project the loop neighborhood's
@@ -579,8 +613,11 @@ class LoopCloser:
         loop_assoc, total = self.k.scw_project(
             arena, jnp.int32(k_cur), jnp.int32(k_loop), s, R, t,
             idx2, ok_wide & inl)
+        if dbg:
+            print(f"#try   scw total={int(total)}", flush=True)
         if int(total) < 40:
             return False
+        t0 = self._lap("sim3", t0)
         # the correction neighborhood must be measured BEFORE fusion
         # (mvpCurrentConnectedKFs, LoopClosing.cpp:442-444)
         covis_pre = SM.covisibility_matrix(arena)
@@ -621,11 +658,15 @@ class LoopCloser:
             system.arena, jnp.asarray(ni), jnp.asarray(nv), sel, sel_ok)
         system.arena = SM.update_landmark_stats(
             system.arena, jnp.asarray(self.cfg.scale_factors, jnp.float32))
+        np.asarray(system.arena.kf_valid[:1])  # value-sync the correction
+        t0 = self._lap("correct", t0)
         # full-map BA after the pose-graph correction (the reference spawns
         # a transient GBA thread, LoopClosing.cpp:578 +
         # RunGlobalBundleAdjustment cpp:644-748; here it is an explicit
         # jitted call on the arena-wide problem)
         self._global_ba(system)
+        np.asarray(system.arena.kf_valid[:1])  # value-sync the GBA
+        self._lap("gba", t0)
         return True
 
     def _global_ba(self, system):

@@ -114,6 +114,10 @@ class MappingKernels:
         rays2 = kp2.rays[res.idx]
         X1 = triangulate_rays(rays1, rays2, R21, t21)     # frame-1 coords
         ok = res.ok & jnp.all(jnp.isfinite(X1), axis=-1)
+
+        def cnt(m):
+            return jnp.sum(m.astype(jnp.int32))
+
         # parallax between the viewing rays in a COMMON frame (the
         # reference measures the angle at the 3D point between world-frame
         # normals, LocalMapping.cpp:286-300); dotting each camera's
@@ -122,12 +126,14 @@ class MappingKernels:
         rays2_in1 = rays2 @ R21                           # R21ᵀ per row
         cos_par = jnp.sum(rays1 * rays2_in1, axis=-1)
         ok &= cos_par < 0.9998
+        n_par = cnt(ok)
         # FOV cheirality both frames (cpp:306-318)
         d1 = jnp.linalg.norm(X1, axis=-1)
         # scale-free depth sanity: at parallax >= ~1.15 deg a true point lies
         # within ~50 baselines; anything beyond is a near-zero-parallax
         # artifact whose reprojection happens to pass both gates
         ok &= d1 <= 50.0 * jnp.linalg.norm(t21)
+        n_depth = cnt(ok)
         ok &= X1[:, 2] / jnp.maximum(d1, 1e-12) > self.cam.cos_fov_th
         X2 = X1 @ R21.T + t21
         d2 = jnp.linalg.norm(X2, axis=-1)
@@ -143,6 +149,7 @@ class MappingKernels:
         e2_ = jnp.sum((uvp2 - kp2.uv[res.idx]) ** 2, axis=-1)
         ok &= (f1 >= 0) & (e1 <= 5.991 * s1)
         ok &= (f2 >= 0) & (e2_ <= 5.991 * s2)
+        n_chi2 = cnt(ok)
         # scale consistency (cpp:351-362)
         ratio_dist = d2 / jnp.maximum(d1, 1e-12)
         sf1 = self.scale_factors[jnp.clip(kp1.level, 0,
@@ -155,10 +162,11 @@ class MappingKernels:
         # world coordinates
         R1, t1 = arena.kf_R[k_new], arena.kf_t[k_new]
         Xw = (X1 - t1) @ R1
-        # diagnostic: raw epipolar match count (pre-gates), for the
-        # working-scale replenishment analysis
-        n_epi = jnp.sum(res.ok.astype(jnp.int32))
-        return Xw, ok, res.idx, cos_par, n_epi
+        # diagnostics: per-gate survivor counts (raw epipolar matches,
+        # post-parallax, post-depth, post-chi2) for the replenishment
+        # analysis (NOTES_TPU round 5)
+        gates = jnp.stack([cnt(res.ok), n_par, n_depth, n_chi2])
+        return Xw, ok, res.idx, cos_par, gates
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def commit_new_landmarks_multi(self, arena: SM.MapArena, k_new, nb_idx,
@@ -483,22 +491,30 @@ class MappingKernels:
         covis = SM.covisibility_matrix(arena, O=O)
         w = covis[slot].at[slot].set(-1)
         w = jnp.where(arena.kf_valid, w, -1)
-        # Triangulation neighbors: top covisible PLUS the 3 temporally
-        # most recent keyframes, forced. The reference's top-20 covisible
-        # (LocalMapping.cpp:230) includes the temporal chain for free at
-        # its dense cadence; here, once the tracked landmark set ages, the
-        # covisibility ranking drifts to OLD keyframes whose baseline is
-        # too wide for descriptor-stable matching — measured at the
-        # Lafida scale: raw epipolar yield fell 3400 -> 700 per step and
-        # replenishment died (NOTES_TPU round 5). Recent keyframes sit at
-        # the 3-15-frame baselines where both parallax (>1.15 deg) and
-        # descriptor overlap hold.
-        recency = jnp.where((w >= 0) & arena.kf_valid,
-                            arena.kf_frame_id, -1)
-        _, recent_idx = jax.lax.top_k(recency, 3)
-        recent_ok = recency[recent_idx] >= 0
+        # Triangulation neighbors: top covisible PLUS three keyframes
+        # forced at TARGET temporal baselines (closest to 4/8/16 frames
+        # back). The reference's top-20 covisible (LocalMapping.cpp:230)
+        # spans this range for free at its cadence; a pure-covisibility
+        # ranking drifts to over-wide pairs once the tracked set ages
+        # (descriptor overlap dies — measured: raw epipolar yield
+        # 3400 -> 700), while pure recency under dense insertion picks
+        # 1-2-frame pairs whose parallax (< 1.15 deg at scene depth)
+        # fails the triangulation gate (measured: 2500 raw -> 200 after
+        # the parallax cut). Targeted baselines keep pairs inside the
+        # window where BOTH hold (NOTES_TPU round 5).
+        fid0 = arena.kf_frame_id[slot]
         big = jnp.int32(1 << 24)
-        w = w.at[recent_idx].add(jnp.where(recent_ok, big, 0))
+        K_ = arena.n_kf_cap
+        chosen = jnp.zeros(K_, bool)
+        eligible = arena.kf_valid & (jnp.arange(K_) != slot) \
+            & (arena.kf_frame_id < fid0)
+        for d in (4, 8, 16):
+            c = jnp.abs(arena.kf_frame_id - (fid0 - d))
+            c = jnp.where(eligible & ~chosen, c, 1 << 30)
+            j = jnp.argmin(c)
+            ok_j = c[j] < (1 << 30)
+            w = w.at[j].add(jnp.where(ok_j, big, 0))
+            chosen = chosen.at[j].set(chosen[j] | ok_j)
         nb_w, nb_idx = jax.lax.top_k(w, n_neighbors)
         nb_idx = nb_idx.astype(jnp.int32)
         nb_ok = nb_w > 0
@@ -510,7 +526,7 @@ class MappingKernels:
         # the widest-parallax winner per feature (committing
         # nearest-neighbor first locks features to near-zero-baseline
         # triangulations)
-        Xw_b, ok_b, idx2_b, cos_b, n_epi_b = jax.vmap(
+        Xw_b, ok_b, idx2_b, cos_b, gates_b = jax.vmap(
             lambda nb: self.triangulate_with_neighbor(arena, slot, nb)
         )(nb_idx)
         ok_b &= nb_ok[:, None]
@@ -573,10 +589,11 @@ class MappingKernels:
         n_row = jnp.sum(((row >= 0) & arena.kf_kp_valid[slot]
                          & arena.lm_valid[jnp.maximum(row, 0)])
                         .astype(jnp.int32))
+        g = jnp.sum(gates_b, axis=0)   # (4,) raw/parallax/depth/chi2
         return arena, jnp.stack([
             n_culled, first_free.astype(jnp.int32), n_new, n_live_lm,
             n_row, n_cull_lm[0], n_cull_lm[1],
-            jnp.sum(n_epi_b), jnp.sum(ok_b.astype(jnp.int32))])
+            g[0], jnp.sum(ok_b.astype(jnp.int32)), g[1], g[2], g[3]])
 
     # ------------------------------------------------------------------
     # Deferred local BA (LocalMapping.cpp:84-90: BA runs only when the

@@ -120,6 +120,7 @@ class CubemapSLAM:
         # preempts it. Keyframe cadence therefore depends only on map
         # state, never on measured wall time.
         self._ba_pending_slot = None  # arena slot awaiting deferred BA
+        self._ba_superseded = 0       # times a pending BA was replaced
         self._last_mapping_info = None  # mapping_step diagnostics (device)
         self._last_pose_np = None     # host copy of the frame pose
         # keyframe-cadence state (see SlamConfig.keyframe_inlier_decay):
@@ -187,6 +188,17 @@ class CubemapSLAM:
     # ------------------------------------------------------------------
     # Public API (System.h:62-91 analog)
     # ------------------------------------------------------------------
+
+    def prefetch_image(self, img: np.ndarray):
+        """Start the async host->device transfer of a FUTURE frame and
+        return the device handle to later pass to track_fisheye.
+
+        The reference's per-frame image read+decode happens OUTSIDE its
+        timed warp+track region (cubemap_lafida.cpp:128-153: imread at
+        134, timer wraps 143-153); over the axon tunnel a synchronous
+        0.36 MB upload costs ~33 ms of pure latency, so callers overlap
+        the next frame's transfer with the current frame's compute."""
+        return jax.device_put(img)
 
     def track_fisheye(self, fisheye_img: np.ndarray, timestamp: float,
                       mask: Optional[np.ndarray] = None):
@@ -570,8 +582,9 @@ class CubemapSLAM:
         pk = np.asarray(packed)
         self._stage("track", packed)
         sc = pk[:8]
-        self._last_pose_np = (pk[8:17].reshape(3, 3).astype(np.float64),
-                              pk[17:20].astype(np.float64))
+        local_diag = pk[8:11].astype(int)
+        self._last_pose_np = (pk[11:20].reshape(3, 3).astype(np.float64),
+                              pk[20:23].astype(np.float64))
         (n, n_inl, n_final, n_ref, live_kf, first_free,
          track_ok, new_ref) = (int(x) for x in sc)
         if not track_ok or n_final < self.cfg.min_track_inliers:
@@ -589,7 +602,10 @@ class CubemapSLAM:
                                timestamp=ts)
         self.metrics.append({"frame": fid, "inliers": n_final,
                              "matches": n, "inliers_mm": n_inl,
-                             "n_ref": n_ref})
+                             "n_ref": n_ref,
+                             "local_frustum": int(local_diag[0]),
+                             "local_queried": int(local_diag[1]),
+                             "local_matched": int(local_diag[2])})
         self._kf_inlier_peak = max(self._kf_inlier_peak, n_final)
         if self._need_new_keyframe(n_final, n_ref, first_free):
             self._create_keyframe(kp, assoc, outlier, R, t, fid, ts,
@@ -715,6 +731,7 @@ class CubemapSLAM:
         self.bow_table = None
         self.mb_vo = False
         self._ba_pending_slot = None
+        self._ba_superseded = 0
         self._kf_inlier_peak = 0
         self._graph_covis = None
         self._graph_cnt = None
@@ -828,7 +845,9 @@ class CubemapSLAM:
         # anything (mature reference count below the floor).
         bar = self.cfg.keyframe_inlier_decay * self._kf_inlier_peak
         c2_decay = n_inliers < bar
-        c2_weak = n_inliers < 2 * self.cfg.min_track_inliers
+        c2_weak = n_inliers < max(
+            2 * self.cfg.min_track_inliers,
+            int(self.cfg.keyframe_health_floor_frac * self.cfg.n_features))
         c2_young = n_ref < self.cfg.keyframe_mature_floor
         want = bool((c1a or c2_decay or c2_weak or c2_young)
                     and n_inliers > 15)
@@ -898,8 +917,18 @@ class CubemapSLAM:
             jnp.int32(fid), max_cams=self.ba_cams,
             run_ba=False)
         # a BA pending from an older keyframe is superseded (mbAbortBA):
-        # the new keyframe's deferred BA covers the same neighborhood
-        self._ba_pending_slot = slot if self.n_kf > 2 else None
+        # the new keyframe's deferred BA covers the same neighborhood.
+        # BOUNDED starvation: under sustained per-frame insertion the
+        # deferral would never fire, accumulating unoptimized drift that
+        # feeds the chi2 gates (measured: KF-per-frame stretches ran with
+        # zero BA and the triangulation chi2 kill rate tripled) — after 2
+        # supersessions the pending BA runs before being replaced.
+        if self._ba_pending_slot is not None:
+            self._ba_superseded += 1
+            if self._ba_superseded >= 2:
+                self._dispatch_deferred_ba()
+        if self.n_kf > 2:
+            self._ba_pending_slot = slot
 
     def _refresh_graph_cache(self):
         """Recompute the cached covisibility/observation-count views
@@ -912,6 +941,7 @@ class CubemapSLAM:
         (fire-and-forget; the next frame's sync absorbs its latency)."""
         slot = self._ba_pending_slot
         self._ba_pending_slot = None
+        self._ba_superseded = 0
         if slot is None:
             return
         # ba_step no-ops on device if the slot was culled meanwhile — no

@@ -64,6 +64,9 @@ def main():
         line = (f"f{k:3d} {slam.state.name:4.4s} kf={slam.n_kf:3d} "
                 f"inl={m.get('inliers', 0):4d} mm={m.get('inliers_mm', 0):4d} "
                 f"match={m.get('matches', 0):4d} nref={m.get('n_ref', 0):4d} "
+                f"lf={m.get('local_frustum', 0):5d} "
+                f"lq={m.get('local_queried', 0):5d} "
+                f"lm={m.get('local_matched', 0):4d} "
                 f"peak={slam._kf_inlier_peak:4d}")
         if slam.n_kf > n_kf_before and slam._last_mapping_info is not None:
             info = np.asarray(slam._last_mapping_info)
@@ -78,6 +81,8 @@ def main():
                      f"row_obs={info[4]} "
                      f"cull_ratio={info[5]} cull_obs={info[6]} "
                      f"epi_raw={info[7]} tri_gated={info[8]} "
+                     f"gates[par={info[9]} depth={info[10]} "
+                     f"chi2={info[11]}] "
                      f"row_birth_med={np.median(births) if len(births) else -1:.0f}")
             last_kf = k
         # every 10 frames: age distribution of the TRACKED landmarks

@@ -6,7 +6,11 @@ stage on the actual backend. Round-3 baseline (NOTES_TPU.md): local_ba
 4177 ms, update_landmark_stats 161 ms, cull_keyframes 184 ms,
 covisibility_matrix 46 ms, triangulate_with_neighbor 41 ms x 6.
 """
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax
 import jax.numpy as jnp

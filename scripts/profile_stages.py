@@ -5,7 +5,12 @@ face reassembly, ORB extraction, projection matching, pose optimization,
 and the fused frame step. Run: python scripts/profile_stages.py
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import numpy as np
 import jax
