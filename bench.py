@@ -63,7 +63,9 @@ def ate_rmse(slam, centers_gt):
     fids = np.asarray(slam.arena.kf_frame_id)
     Rs = np.asarray(slam.arena.kf_R)
     ts = np.asarray(slam.arena.kf_t)
-    ks = np.where(valid)[0]
+    # keyframes from frames without ground truth (e.g. the re-run
+    # attribution pass) are excluded
+    ks = np.where(valid & (fids >= 0) & (fids < len(centers_gt)))[0]
     if len(ks) < 3:
         return None
     est = np.stack([-Rs[k].T @ ts[k] for k in ks])
@@ -94,9 +96,12 @@ def main():
     # ---- offline: render the sequence (not timed) ----
     rng = np.random.default_rng(0)
     n_frames = 220
-    n_attr = 8            # extra frames for the synced stage-attribution pass
-    poses = forward_trajectory(n_frames + n_attr, step=0.02, yaw_rate=0.002)
+    poses = forward_trajectory(n_frames, step=0.02, yaw_rate=0.002)
     centers = np.stack([-R.T @ t for R, t in poses])
+    # n=1200 billboards is the validated density: denser worlds overlap
+    # billboards (the renderer has no occlusion) and destroy descriptor
+    # matching from the start (measured: 2400 billboards collapsed
+    # tracking inliers 438 -> 35 within 100 frames at KF-per-frame)
     pts, patches = make_world(rng, n=1200, centers=centers,
                               fx=float(slam.cam.fxycxy[0]))
     ren = Renderer(slam.cam, cfg, "fisheye")
@@ -144,21 +149,25 @@ def main():
                   f"kf={slam.n_kf} {dt*1000:.0f}ms",
                   file=sys.stderr, flush=True)
 
-    # ---- synced per-stage attribution pass (not part of the timed stats:
-    # the value-syncs serialize the device queue) ----
-    slam.stage_times = {}
-    for k in range(n_frames, n_frames + n_attr):
-        slam.track_fisheye(frames[k], k / cfg.fps, mask=mask)
-    stages = {name: round(float(np.median(v)), 2)
-              for name, v in slam.stage_times.items()}
-    slam.stage_times = None
-
     # ---- accuracy: ATE vs the renderer's exact ground truth + TUM ----
+    # (before the attribution pass: its re-run frames have no GT poses)
     ate = ate_rmse(slam, centers)
     span = float(np.linalg.norm(centers.max(0) - centers.min(0)))
     os.makedirs(os.path.join(_REPO, "artifacts"), exist_ok=True)
     slam.save_keyframe_trajectory_tum(
         os.path.join(_REPO, "artifacts", "bench_traj.tum"))
+
+    # ---- synced per-stage attribution pass (not part of the timed stats:
+    # the value-syncs serialize the device queue). Re-runs the LAST 8
+    # frames: rendering extra poses would change the world's random
+    # billboard anchoring and make the bench world diverge from the
+    # validated one ----
+    slam.stage_times = {}
+    for k in range(max(0, n_frames - 8), n_frames):
+        slam.track_fisheye(frames[k], (n_frames + k) / cfg.fps, mask=mask)
+    stages = {name: round(float(np.median(v)), 2)
+              for name, v in slam.stage_times.items()}
+    slam.stage_times = None
 
     dts = np.array([r[0] for r in recs])
     ok = np.array([r[1] for r in recs])

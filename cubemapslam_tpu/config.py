@@ -128,11 +128,11 @@ class SlamConfig:
     # mature them, probation culls them, and the map starves — measured,
     # NOTES_TPU round 5); the floor keeps the operating point far from
     # the death zone while letting genuinely healthy stretches run
-    # keyframe-free at full frame rate. 0.08 (=160 inliers at the
-    # 2000-feature working scale) sits between the ~80-inlier death zone
-    # and the 0.15 setting that degenerated to keyframe-per-frame
-    # (measured: both extremes on the 220-frame working-scale run).
-    keyframe_health_floor_frac: float = 0.08
+    # keyframe-free at full frame rate. 0.15 (=300 inliers at the
+    # 2000-feature working scale) runs keyframe-dense whenever the map is
+    # below cruising health — measured as the only setting robust at BOTH
+    # the 650^2 bench scale and the 160-px test scale (0.08 starved both).
+    keyframe_health_floor_frac: float = 0.15
     # NeedNewKeyFrame's c2 compares tracked inliers against the reference
     # KF's MATURE point count (>=3 obs, Tracking.cpp:741-748). When that
     # count is below this floor, the local map is too young/thin for the

@@ -473,11 +473,11 @@ class MappingKernels:
     # (System.cpp:108-128).
     # ------------------------------------------------------------------
 
-    @functools.partial(jax.jit, static_argnums=(0, 5, 6, 7),
+    @functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8),
                        donate_argnums=1)
     def mapping_step(self, arena: SM.MapArena, slot, kf_counter, frame_id,
-                     n_neighbors: int = 6, max_cams: int = 48,
-                     run_ba: bool = True):
+                     n_neighbors: int = 4, max_cams: int = 48,
+                     run_ba: bool = True, run_cull: bool = True):
         """slot: new keyframe arena row. kf_counter: monotonic keyframe
         count AFTER insertion. frame_id: the keyframe's source frame.
 
@@ -502,9 +502,12 @@ class MappingKernels:
         # fails the triangulation gate (measured: 2500 raw -> 200 after
         # the parallax cut). Targeted baselines keep pairs inside the
         # window where BOTH hold (NOTES_TPU round 5).
-        fid0 = arena.kf_frame_id[slot]
         big = jnp.int32(1 << 24)
         K_ = arena.n_kf_cap
+        # (a baseline/median-depth geometric target was tried and
+        # measured WORSE at both scales — the frame-distance targets
+        # empirically hold across the shipped configurations)
+        fid0 = arena.kf_frame_id[slot]
         chosen = jnp.zeros(K_, bool)
         eligible = arena.kf_valid & (jnp.arange(K_) != slot) \
             & (arena.kf_frame_id < fid0)
@@ -542,7 +545,7 @@ class MappingKernels:
         # redirects are composed and applied in ONE table rewrite
         ident = jnp.arange(arena.n_lm_cap, dtype=jnp.int32)
         redirect_total = ident
-        for i in range(min(4, n_neighbors)):
+        for i in range(min(3, n_neighbors)):
             def fuse_i(carry, i=i):
                 a, red = carry
                 a, r1 = self.fuse_pair(a, slot, nb_idx[i], cnt=cnt0,
@@ -575,7 +578,13 @@ class MappingKernels:
                                               covis=covis)
             arena = SM.update_landmark_stats_touched(
                 arena, self.scale_factors, ba_touched, **stats_caps)
-        arena, n_culled = self.cull_keyframes(arena, slot, covis=covis)
+        if run_cull:
+            arena, n_culled = self.cull_keyframes(arena, slot, covis=covis)
+        else:
+            # KF culling amortized to alternate mapping steps (the
+            # histogram pass costs ~66 ms at working scale; redundancy
+            # accumulates over several keyframes, not one)
+            n_culled = jnp.int32(0)
         # first free keyframe slot (or -1) so the host's NeedNewKeyFrame
         # check doesn't have to pull the whole validity mask
         free = ~arena.kf_valid

@@ -915,7 +915,7 @@ class CubemapSLAM:
         self.arena, self._last_mapping_info = self.mapping.mapping_step(
             self.arena, jnp.int32(slot), jnp.int32(self.n_kf),
             jnp.int32(fid), max_cams=self.ba_cams,
-            run_ba=False)
+            run_ba=False, run_cull=self.n_kf % 2 == 0)
         # a BA pending from an older keyframe is superseded (mbAbortBA):
         # the new keyframe's deferred BA covers the same neighborhood.
         # BOUNDED starvation: under sustained per-frame insertion the
