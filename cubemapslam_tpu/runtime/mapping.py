@@ -476,7 +476,7 @@ class MappingKernels:
     @functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8),
                        donate_argnums=1)
     def mapping_step(self, arena: SM.MapArena, slot, kf_counter, frame_id,
-                     n_neighbors: int = 4, max_cams: int = 48,
+                     n_neighbors: int = 6, max_cams: int = 48,
                      run_ba: bool = True, run_cull: bool = True):
         """slot: new keyframe arena row. kf_counter: monotonic keyframe
         count AFTER insertion. frame_id: the keyframe's source frame.
@@ -545,7 +545,7 @@ class MappingKernels:
         # redirects are composed and applied in ONE table rewrite
         ident = jnp.arange(arena.n_lm_cap, dtype=jnp.int32)
         redirect_total = ident
-        for i in range(min(3, n_neighbors)):
+        for i in range(min(4, n_neighbors)):
             def fuse_i(carry, i=i):
                 a, red = carry
                 a, r1 = self.fuse_pair(a, slot, nb_idx[i], cnt=cnt0,

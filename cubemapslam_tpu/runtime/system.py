@@ -687,7 +687,7 @@ class CubemapSLAM:
         if self._graph_covis is None:
             self._refresh_graph_cache()
         (self.arena, assoc, outlier, R, t, n_final,
-         pkf_max, pkf_votes) = k.track_local_fused(
+         pkf_max, pkf_votes, _diag) = k.track_local_fused(
             self.arena, kp, assoc, outlier, R, t,
             covis=self._graph_covis)
         n_final_i = int(n_final)
@@ -915,7 +915,7 @@ class CubemapSLAM:
         self.arena, self._last_mapping_info = self.mapping.mapping_step(
             self.arena, jnp.int32(slot), jnp.int32(self.n_kf),
             jnp.int32(fid), max_cams=self.ba_cams,
-            run_ba=False, run_cull=self.n_kf % 2 == 0)
+            run_ba=False, run_cull=True)
         # a BA pending from an older keyframe is superseded (mbAbortBA):
         # the new keyframe's deferred BA covers the same neighborhood.
         # BOUNDED starvation: under sustained per-frame insertion the
